@@ -1,0 +1,104 @@
+"""Engine configuration.
+
+Field parity with the reference ``Config`` (nanovllm/config.py:7-27), adapted
+for TPU:
+
+- ``gpu_memory_utilization`` is kept verbatim for drop-in compatibility; it
+  budgets TPU HBM here.
+- ``kvcache_block_size`` defaults to 64 (the reference's 256 is a flash-attn
+  constraint; TPU paged attention wants pages that match (8,128)-tiling and
+  finer prefix-cache granularity). Any multiple of 16 is accepted.
+- ``hf_config`` may be passed directly (a transformers PretrainedConfig or a
+  plain dict) so that unit tests and random-weight benchmarks need no model
+  directory on disk — fixing the reference's test fixture weakness
+  (tests/test_scheduler.py depends on a downloaded checkpoint).
+- new TPU fields: ``dtype``, mesh shape knobs (``tensor_parallel_size`` kept,
+  plus ``data_parallel_size``), ``decode_bucket_sizes``.
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Config:
+    model: str = ""
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 512
+    max_model_len: int = 4096
+    gpu_memory_utilization: float = 0.9
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    enforce_eager: bool = False
+    hf_config: Any = None
+    eos: int = -1
+    kvcache_block_size: int = 64
+    num_kvcache_blocks: int = -1
+    dtype: str = "bfloat16"
+    kv_cache_dtype: str = "auto"  # "auto" (= dtype) | "int8"
+    quantization: str | None = None  # None | "int8" | "int4"
+    attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
+    speculative_config: Any = None
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.hf_config is None:
+            assert os.path.isdir(self.model), f"model dir not found: {self.model}"
+            from transformers import AutoConfig
+
+            self.hf_config = AutoConfig.from_pretrained(self.model)
+        if isinstance(self.hf_config, dict):
+            self.hf_config = _DictConfig(self.hf_config)
+        assert self.kvcache_block_size % 16 == 0, "TPU KV pages must be a multiple of 16 tokens"
+        assert self.tensor_parallel_size >= 1
+        assert self.data_parallel_size >= 1
+        max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
+        self.max_model_len = min(self.max_model_len, max_pos)
+        assert self.max_num_batched_tokens >= self.max_model_len
+
+        if isinstance(self.speculative_config, dict):
+            self.speculative_config = SpeculativeConfig(**self.speculative_config)
+
+
+class _DictConfig:
+    """Attribute view over a plain-dict model config."""
+
+    def __init__(self, d: dict):
+        self._d = dict(d)
+
+    def __getattr__(self, name):
+        try:
+            return self._d[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def to_dict(self):
+        return dict(self._d)
+
+
+@dataclass
+class SpeculativeConfig:
+    """Speculative decoding config (reference: nanovllm/config.py:30-49 — there
+    declared but never consumed; here it is wired into the engine)."""
+
+    method: str | None = None  # "ngram" (implemented) | "eagle" (future)
+    num_speculative_tokens: int | None = None
+    prompt_lookup_max: int | None = None
+    prompt_lookup_min: int | None = 1
+
+    def __post_init__(self):
+        if self.method == "ngram":
+            assert self.num_speculative_tokens is not None and self.num_speculative_tokens >= 1
+            assert self.prompt_lookup_max is not None and self.prompt_lookup_max >= 1
+            if self.prompt_lookup_min is None:
+                self.prompt_lookup_min = 1
+            assert 1 <= self.prompt_lookup_min <= self.prompt_lookup_max
+
+
+def config_from_kwargs(model: str = "", **kwargs) -> Config:
+    """Build a Config keeping only recognised fields (reference behavior:
+    nanovllm/engine/llm_engine.py:19-21 filters kwargs by dataclass fields)."""
+    names = set(Config.__dataclass_fields__)
+    filtered = {k: v for k, v in kwargs.items() if k in names}
+    return Config(model=model, **filtered)

@@ -1,0 +1,122 @@
+"""Host-side batch preparation (pure numpy, no device code).
+
+Replaces the reference's ``_prepare_prefill`` / ``_prepare_decode`` + the
+``Context`` thread-global (nanovllm/engine/model_runner.py:160-235,
+nanovllm/utils/context.py): attention metadata becomes an explicit
+``StepBatch`` pytree handed to the jitted step function — globals do not work
+under ``jax.jit``.
+
+Layout: a unified padded ``[B, Tq]`` layout for both prefill (Tq = longest
+uncached prompt chunk) and decode (Tq = 1), so one jitted model step serves
+both phases. Per-token KV-pool slots are precomputed here
+(slot = block_id * block_size + offset); -1 marks padding and is dropped by
+the device-side scatter.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from byox_vllm_tpu.engine.sequence import Sequence
+
+
+@dataclass
+class StepBatch:
+    token_ids: np.ndarray  # [B, Tq] int32, 0-padded
+    q_lens: np.ndarray  # [B] int32; number of real (new) tokens per row
+    context_lens: np.ndarray  # [B] int32; total tokens incl. cached prefix
+    slot_mapping: np.ndarray  # [B, Tq] int32; -1 = padding
+    block_tables: np.ndarray  # [B, W] int32; -1 = padding
+    temperatures: np.ndarray  # [B] float32
+    is_prefill: bool
+
+    @property
+    def num_seqs(self) -> int:
+        return len(self.q_lens)
+
+    @property
+    def total_new_tokens(self) -> int:
+        return int(self.q_lens.sum())
+
+
+def _block_tables(seqs: list[Sequence]) -> np.ndarray:
+    width = max(1, max(len(s.block_table) for s in seqs))
+    table = np.full((len(seqs), width), -1, dtype=np.int32)
+    for i, seq in enumerate(seqs):
+        if seq.block_table:
+            table[i, : len(seq.block_table)] = seq.block_table
+    return table
+
+
+def prepare_prefill(seqs: list[Sequence], block_size: int) -> StepBatch:
+    n = len(seqs)
+    q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], dtype=np.int32)
+    context_lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    tq = int(q_lens.max())
+    token_ids = np.zeros((n, tq), dtype=np.int32)
+    slot_mapping = np.full((n, tq), -1, dtype=np.int32)
+    for i, seq in enumerate(seqs):
+        start = seq.num_cached_tokens
+        chunk = seq.token_ids[start:]
+        token_ids[i, : len(chunk)] = chunk
+        if seq.block_table:
+            positions = np.arange(start, len(seq))
+            block_ids = np.asarray(seq.block_table, dtype=np.int64)[positions // block_size]
+            slot_mapping[i, : len(chunk)] = block_ids * block_size + positions % block_size
+    return StepBatch(
+        token_ids=token_ids,
+        q_lens=q_lens,
+        context_lens=context_lens,
+        slot_mapping=slot_mapping,
+        block_tables=_block_tables(seqs),
+        temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),
+        is_prefill=True,
+    )
+
+
+def prepare_decode(seqs: list[Sequence], block_size: int) -> StepBatch:
+    n = len(seqs)
+    token_ids = np.array([s.last_token for s in seqs], dtype=np.int32).reshape(n, 1)
+    slots = np.array(
+        [s.block_table[-1] * block_size + s.last_block_num_tokens - 1 for s in seqs],
+        dtype=np.int32,
+    ).reshape(n, 1)
+    return StepBatch(
+        token_ids=token_ids,
+        q_lens=np.ones(n, dtype=np.int32),
+        context_lens=np.array([len(s) for s in seqs], dtype=np.int32),
+        slot_mapping=slots,
+        block_tables=_block_tables(seqs),
+        temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),
+        is_prefill=False,
+    )
+
+
+def pad_batch(batch: StepBatch, num_seqs: int, num_tokens: int, table_width: int) -> StepBatch:
+    """Pad a StepBatch up to bucketed [num_seqs, num_tokens] / table width so
+    the jitted step function compiles once per bucket (the XLA analogue of the
+    reference's CUDA-graph batch-size buckets, model_runner.py:256-297).
+    Padding rows have q_len 0, context_len 0, slots/blocks -1."""
+    b, tq = batch.token_ids.shape
+    w = batch.block_tables.shape[1]
+    assert num_seqs >= b and num_tokens >= tq and table_width >= w
+
+    def pad2(arr, rows, cols, fill):
+        out = np.full((rows, cols), fill, dtype=arr.dtype)
+        out[:b, : arr.shape[1]] = arr
+        return out
+
+    def pad1(arr, rows, fill):
+        out = np.full(rows, fill, dtype=arr.dtype)
+        out[:b] = arr
+        return out
+
+    return StepBatch(
+        token_ids=pad2(batch.token_ids, num_seqs, num_tokens, 0),
+        q_lens=pad1(batch.q_lens, num_seqs, 0),
+        context_lens=pad1(batch.context_lens, num_seqs, 0),
+        slot_mapping=pad2(batch.slot_mapping, num_seqs, num_tokens, -1),
+        block_tables=pad2(batch.block_tables, num_seqs, table_width, -1),
+        temperatures=pad1(batch.temperatures, num_seqs, 1.0),
+        is_prefill=batch.is_prefill,
+    )

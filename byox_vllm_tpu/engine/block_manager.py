@@ -1,0 +1,177 @@
+"""Paged-KV block manager with hash-based prefix caching.
+
+Behavioral parity with the reference (nanovllm/engine/block_manager.py:10-130):
+
+- fixed pool of blocks, FIFO free list => approximate-LRU eviction
+- chained per-block hashes over full blocks only (hash(parent_hash || tokens))
+- cache hits bump ref counts; freed blocks keep their hash + token ids so a
+  later request can resurrect them from the free list
+- the hash -> block_id map deliberately keeps stale entries (token-id equality
+  re-check guards against both staleness and hash collisions)
+- ``may_append`` handles the decode-step block-boundary cases keyed on
+  ``len(seq) % block_size``: 1 => the new token opened a fresh block;
+  0 => the last block just filled and gets sealed with its hash.
+
+This is pure-Python CPU control plane; device KV pages live in HBM and are
+indexed by these block ids (see engine/model_runner.py).
+"""
+
+from collections import deque
+from hashlib import blake2b
+
+try:
+    import xxhash
+
+    def _hash_bytes(data: bytes) -> int:
+        return xxhash.xxh64(data).intdigest()
+
+except ImportError:  # pragma: no cover - xxhash is present in the image
+
+    def _hash_bytes(data: bytes) -> int:
+        return int.from_bytes(blake2b(data, digest_size=8).digest(), "little")
+
+
+from byox_vllm_tpu.engine.sequence import Sequence
+from byox_vllm_tpu.utils.logging import logger
+
+
+class Block:
+    __slots__ = ("block_id", "ref_count", "hash", "token_ids")
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+        self.ref_count = 0
+        self.hash = -1
+        self.token_ids: list[int] = []
+
+    def __repr__(self):
+        return f"block-{self.block_id}"
+
+    def update(self, h: int, token_ids: list[int]) -> None:
+        self.hash = h
+        self.token_ids = token_ids
+
+    def reset(self) -> None:
+        self.ref_count = 1
+        self.hash = -1
+        self.token_ids = []
+
+
+def compute_block_hash(token_ids: list[int], prefix: int = -1) -> int:
+    """Chained block hash: covers the parent block's hash plus this block's
+    token ids, so equal hashes imply equal full prefixes."""
+    parts = bytearray()
+    if prefix != -1:
+        parts += prefix.to_bytes(8, "little", signed=False)
+    for t in token_ids:
+        parts += int(t).to_bytes(8, "little", signed=True)
+    return _hash_bytes(bytes(parts))
+
+
+class BlockManager:
+    def __init__(self, num_blocks: int, block_size: int):
+        assert num_blocks > 0 and block_size > 0
+        self.block_size = block_size
+        self.blocks = [Block(i) for i in range(num_blocks)]
+        self.hash_to_block_id: dict[int, int] = {}
+        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        self.used_block_ids: set[int] = set()
+
+    # -- queries ----------------------------------------------------------
+
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self.free_block_ids)
+
+    def can_allocate(self, seq: Sequence) -> bool:
+        return len(self.free_block_ids) >= seq.num_blocks
+
+    def can_append(self, seq: Sequence) -> bool:
+        """True if the upcoming ``may_append`` cannot run out of blocks: a new
+        block is needed exactly when the token appended by the last step
+        opened a fresh block (len % block_size == 1)."""
+        needs_block = len(seq) % self.block_size == 1
+        return len(self.free_block_ids) >= int(needs_block)
+
+    # -- allocation -------------------------------------------------------
+
+    def allocate(self, seq: Sequence) -> None:
+        """Allocate all blocks for a (re)starting sequence, reusing any
+        prefix-cached blocks. After the first miss, all later blocks miss
+        (the chained hash can no longer match)."""
+        assert not seq.block_table
+        h = -1
+        cache_miss = False
+        for i in range(seq.num_blocks):
+            token_ids = seq.block(i)
+            h = compute_block_hash(token_ids, h) if len(token_ids) == self.block_size else -1
+            cached_id = self.hash_to_block_id.get(h, -1)
+            if cached_id == -1 or self.blocks[cached_id].token_ids != token_ids:
+                cache_miss = True
+            if cache_miss:
+                block_id = self.free_block_ids[0]
+                block = self._take_block(block_id)
+            else:
+                block_id = cached_id
+                seq.num_cached_tokens += self.block_size
+                if block_id in self.used_block_ids:
+                    block = self.blocks[block_id]
+                    block.ref_count += 1
+                else:
+                    # hit on a freed block: resurrect it from the free list
+                    block = self._take_block(block_id)
+            if h != -1:
+                block.update(h, token_ids)
+                self.hash_to_block_id[h] = block_id
+            seq.block_table.append(block_id)
+        logger.debug("allocated %s blocks for %s (%d cached)", seq.num_blocks, seq, seq.num_cached_tokens)
+
+    def deallocate(self, seq: Sequence) -> None:
+        for block_id in reversed(seq.block_table):
+            block = self.blocks[block_id]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._release_block(block)
+        seq.num_cached_tokens = 0
+        seq.block_table.clear()
+
+    def may_append(self, seq: Sequence) -> None:
+        """Called once per scheduled decode step, before the model runs, to
+        keep the block table consistent with the token appended last step."""
+        block_table = seq.block_table
+        last_block = self.blocks[block_table[-1]]
+        rem = len(seq) % self.block_size
+        if rem == 1:
+            # previous step sealed the last block; the newest token opens a new one
+            assert last_block.hash != -1
+            block_id = self.free_block_ids[0]
+            self._take_block(block_id)
+            block_table.append(block_id)
+        elif rem == 0:
+            # the last block just filled: seal it with its chained hash
+            assert last_block.hash == -1
+            token_ids = seq.block(seq.num_blocks - 1)
+            prefix = self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
+            h = compute_block_hash(token_ids, prefix)
+            last_block.update(h, token_ids)
+            self.hash_to_block_id[h] = last_block.block_id
+        else:
+            assert last_block.hash == -1
+
+    # -- internals --------------------------------------------------------
+
+    def _take_block(self, block_id: int) -> Block:
+        block = self.blocks[block_id]
+        assert block.ref_count == 0
+        block.reset()
+        self.free_block_ids.remove(block_id)
+        self.used_block_ids.add(block_id)
+        return block
+
+    def _release_block(self, block: Block) -> None:
+        assert block.ref_count == 0
+        self.used_block_ids.remove(block.block_id)
+        self.free_block_ids.append(block.block_id)
+        # NOTE: hash/token_ids and the hash_to_block_id entry are deliberately
+        # kept so the block can be resurrected on a later prefix hit
+        # (reference: block_manager.py:128-130).
