@@ -1,0 +1,84 @@
+"""Offline throughput benchmark — methodology parity with the reference's
+bench.py: 128 sequences, input len ~U(100,128) random token ids, output len
+~U(100,128) with ignore_eos, temperature 0.6, Qwen3-0.6B geometry,
+max_model_len 256; metric = total generated tokens / wall-clock seconds after
+one warmup generate.
+
+No checkpoint is required (zero-egress environment): weights are
+random-initialized at the real Qwen3-0.6B shape, which exercises the
+identical compute/memory path. Prints one JSON line for the driver.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+NUM_SEQS = 128
+MAX_INPUT_LEN = 128
+MAX_OUTPUT_LEN = 128
+
+QWEN3_0_6B = {
+    "model_type": "qwen3",
+    "vocab_size": 151936,
+    "hidden_size": 1024,
+    "intermediate_size": 3072,
+    "num_hidden_layers": 28,
+    "num_attention_heads": 16,
+    "num_key_value_heads": 8,
+    "head_dim": 128,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 1000000.0,
+    "tie_word_embeddings": True,
+    "attention_bias": False,
+    "max_position_embeddings": 40960,
+}
+
+
+def main():
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    random.seed(0)
+    llm = LLM(
+        hf_config=dict(QWEN3_0_6B),
+        max_model_len=256,
+        max_num_batched_tokens=2048,
+        max_num_seqs=256,
+        gpu_memory_utilization=0.7,
+    )
+
+    prompts = [
+        [random.randint(0, 10000) for _ in range(random.randint(100, MAX_INPUT_LEN))]
+        for _ in range(NUM_SEQS)
+    ]
+    sampling = [
+        SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=random.randint(100, MAX_OUTPUT_LEN))
+        for _ in range(NUM_SEQS)
+    ]
+
+    # warmup (compiles the step buckets)
+    llm.generate([[1, 2, 3, 4, 5, 6, 7, 8]], SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False)
+
+    t0 = time.time()
+    llm.generate(prompts, sampling, use_tqdm=False)
+    dt = time.time() - t0
+    total_tokens = sum(sp.max_tokens for sp in sampling)
+    tok_s = total_tokens / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "offline_throughput_qwen3_0.6b_bf16",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+    print(f"# {total_tokens} tokens in {dt:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Engine orchestrator: request lifecycle + the serving busy-loop.
+
+Parity with the reference LLMEngine (nanovllm/engine/llm_engine.py:17-104):
+``generate`` adds all requests then drains with ``_step`` (schedule -> run ->
+postprocess), reporting live prefill/decode tok/s, returning results ordered
+by sequence id. Differences:
+
+- no worker processes to spawn: the runner is a single SPMD program (the
+  reference forks TP ranks at llm_engine.py:26-31)
+- the KV pool size is decided by the runner before the scheduler is built
+  (same ordering constraint as the reference, model_runner.py:133)
+- prompts may be strings (tokenizer required) or raw token-id lists.
+"""
+
+import time
+
+from byox_vllm_tpu.config import Config, config_from_kwargs
+from byox_vllm_tpu.engine.model_runner import ModelRunner
+from byox_vllm_tpu.engine.scheduler import Scheduler
+from byox_vllm_tpu.engine.sequence import Sequence
+from byox_vllm_tpu.sampling_params import SamplingParams
+from byox_vllm_tpu.utils.logging import logger
+
+
+class LLMEngine:
+    def __init__(self, model: str = "", **kwargs):
+        config = kwargs.pop("config", None)
+        if config is None:
+            config = config_from_kwargs(model, **kwargs)
+        self.config = config
+
+        self.tokenizer = None
+        if config.model:
+            try:
+                from transformers import AutoTokenizer
+
+                self.tokenizer = AutoTokenizer.from_pretrained(config.model)
+            except Exception as e:  # weights-only dirs (tests, benchmarks)
+                logger.warning("no tokenizer loaded from %s (%s); token-id prompts only", config.model, e)
+            if self.tokenizer is not None and self.tokenizer.eos_token_id is not None and config.eos < 0:
+                config.eos = self.tokenizer.eos_token_id
+        if config.eos < 0:
+            config.eos = getattr(config.hf_config, "eos_token_id", -1) or -1
+
+        self.model_runner = ModelRunner(config)  # fills config.num_kvcache_blocks
+        self.scheduler = Scheduler(config)
+        self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
+
+    # -- request lifecycle ------------------------------------------------
+
+    def add_request(self, prompt: str | list[int], sampling_params: SamplingParams) -> Sequence:
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompts require a tokenizer (model dir)"
+            token_ids = self.tokenizer.encode(prompt)
+        else:
+            token_ids = list(prompt)
+        assert 0 < len(token_ids) <= self.config.max_model_len, (
+            f"prompt length {len(token_ids)} outside (0, {self.config.max_model_len}]"
+        )
+        seq = Sequence(token_ids, self.config.kvcache_block_size, sampling_params)
+        self.scheduler.add(seq)
+        return seq
+
+    def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+        """One scheduling+model step. Returns (finished outputs, num tokens
+        processed: +N prefill tokens or -B decode batch size, mirroring the
+        reference's throughput accounting at llm_engine.py:95-100)."""
+        seqs, is_prefill = self.scheduler.schedule()
+        if not seqs:
+            return [], 0
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        self.scheduler.postprocess(seqs, token_ids)
+        outputs = [
+            (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
+        ]
+        num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else -len(seqs)
+        return outputs, num_tokens
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    # -- batch API --------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams] | None = None,
+        use_tqdm: bool = True,
+    ) -> list[dict]:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        assert len(sampling_params) == len(prompts)
+
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+
+        for prompt, sp in zip(prompts, sampling_params):
+            self.add_request(prompt, sp)
+        outputs: dict[int, list[int]] = {}
+        while not self.is_finished():
+            t0 = time.perf_counter()
+            finished, num_tokens = self.step()
+            dt = max(time.perf_counter() - t0, 1e-9)
+            if num_tokens > 0:
+                self._stats["prefill_tok_s"] = num_tokens / dt
+            elif num_tokens < 0:
+                self._stats["decode_tok_s"] = -num_tokens / dt
+            for seq_id, completion in finished:
+                outputs[seq_id] = completion
+            if pbar is not None:
+                if finished:
+                    pbar.update(len(finished))
+                pbar.set_postfix(
+                    {
+                        "prefill": f"{int(self._stats['prefill_tok_s'])}tok/s",
+                        "decode": f"{int(self._stats['decode_tok_s'])}tok/s",
+                    }
+                )
+        if pbar is not None:
+            pbar.close()
+
+        results = []
+        for seq_id in sorted(outputs):
+            token_ids = outputs[seq_id]
+            text = self.tokenizer.decode(token_ids) if self.tokenizer is not None else ""
+            results.append({"text": text, "token_ids": token_ids})
+        return results

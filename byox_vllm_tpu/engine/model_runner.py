@@ -1,0 +1,196 @@
+"""Per-host execution layer: compiled step functions, KV pool, sampling.
+
+TPU-native counterpart of the reference ModelRunner (nanovllm/engine/
+model_runner.py:17-297). The reference's machinery dissolves as follows:
+
+  - CUDA graphs at bucketed batch sizes  ->  one ``jax.jit`` step function;
+    inputs are padded to bucket shapes so the XLA compile cache hits
+    (compile-per-bucket == capture-per-bucket, but XLA owns the replay)
+  - NCCL + shm/Event RPC lockstep ranks  ->  single SPMD program on a
+    (data, model) mesh; GSPMD inserts collectives
+  - profiled VRAM-based KV sizing (model_runner.py:115-136)  ->  static HBM
+    budget arithmetic (weights + activation headroom are known up front)
+  - Triton store_kvcache + flash-attn    ->  XLA scatter + paged attention
+    (dense fallback now, Pallas kernels on TPU)
+
+The KV pool is one array [L, 2, num_slots, num_kv_heads, head_dim], donated
+into every step so XLA updates it in place.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from byox_vllm_tpu.config import Config
+from byox_vllm_tpu.engine.batch_prep import StepBatch, pad_batch, prepare_decode, prepare_prefill
+from byox_vllm_tpu.engine.sequence import Sequence
+from byox_vllm_tpu.models import get_model
+from byox_vllm_tpu.ops.sampler import sample_tokens
+from byox_vllm_tpu.parallel.mesh import make_mesh
+from byox_vllm_tpu.parallel.shardings import batch_specs, kv_cache_spec, shard_params
+from byox_vllm_tpu.utils.loader import param_bytes
+from byox_vllm_tpu.utils.logging import logger
+
+# Decode batch buckets — same role as the reference's CUDA-graph capture sizes
+# (model_runner.py:269). Compilation happens lazily per bucket and is cached.
+_DEFAULT_HBM_BYTES = 16 * 1024**3  # TPU v5e
+_ACTIVATION_HEADROOM = 1 * 1024**3
+
+
+def _next_bucket(n: int, buckets: list[int]) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+def _pow2_buckets(lo: int, hi: int) -> list[int]:
+    out = []
+    b = lo
+    while b < hi:
+        out.append(b)
+        b *= 2
+    out.append(hi)
+    return out
+
+
+class ModelRunner:
+    def __init__(self, config: Config, mesh=None):
+        self.config = config
+        hf = config.hf_config
+        self.mesh = mesh if mesh is not None else make_mesh(
+            config.tensor_parallel_size, config.data_parallel_size
+        )
+        model_cls = get_model(getattr(hf, "model_type", "qwen3"))
+        self.spec = model_cls.spec_from_hf(hf)
+        self.forward_fn = model_cls.forward
+        self.block_size = config.kvcache_block_size
+        self.dtype = jnp.dtype(config.dtype)
+
+        # --- parameters -------------------------------------------------
+        if config.model:
+            params = model_cls.load_params(config.model, self.spec, self.dtype)
+        else:
+            logger.warning("no model path given: using random-initialized weights")
+            params = model_cls.init_params(self.spec, self.dtype, seed=config.seed)
+        self.params = shard_params(params, self.mesh)
+
+        # --- KV pool sizing & allocation --------------------------------
+        if config.num_kvcache_blocks <= 0:
+            config.num_kvcache_blocks = self._compute_num_blocks()
+        self.num_slots = config.num_kvcache_blocks * self.block_size
+        kv_dtype = self.dtype if config.kv_cache_dtype == "auto" else jnp.dtype(config.kv_cache_dtype)
+        from jax.sharding import NamedSharding
+
+        kv_sharding = NamedSharding(self.mesh, kv_cache_spec())
+        self.kv_cache = jax.device_put(
+            jnp.zeros(
+                (self.spec.num_layers, 2, self.num_slots, self.spec.num_kv_heads, self.spec.head_dim),
+                dtype=kv_dtype,
+            ),
+            kv_sharding,
+        )
+        logger.info(
+            "KV pool: %d blocks x %d tokens (%.2f GiB)",
+            config.num_kvcache_blocks, self.block_size,
+            self.kv_cache.nbytes / 1024**3,
+        )
+
+        # --- compiled step ----------------------------------------------
+        self.rng = jax.random.PRNGKey(config.seed)
+        self._step = jax.jit(
+            partial(
+                _model_step,
+                forward_fn=self.forward_fn,
+                spec=self.spec,
+                block_size=self.block_size,
+            ),
+            static_argnames=(),
+            donate_argnums=(1,),  # kv_cache
+        )
+        # shape buckets
+        dp = config.data_parallel_size
+        self.seq_buckets = [b for b in _pow2_buckets(max(8, dp), max(8, config.max_num_seqs))]
+        self.token_buckets = _pow2_buckets(16, config.max_model_len)
+        max_table_width = math.ceil(config.max_model_len / self.block_size)
+        self.table_buckets = _pow2_buckets(1, max(1, max_table_width))
+
+    # ------------------------------------------------------------------
+
+    def _compute_num_blocks(self) -> int:
+        dev = jax.devices()[0]
+        limit = _DEFAULT_HBM_BYTES
+        try:
+            stats = dev.memory_stats()
+            if stats and "bytes_limit" in stats:
+                limit = stats["bytes_limit"]
+        except Exception:
+            pass
+        if dev.platform == "cpu":
+            return 2048  # tests / CPU dev: fixed small pool
+        weights = param_bytes(self.params)
+        tp = self.config.tensor_parallel_size
+        kv_bytes_per_token = (
+            self.spec.num_layers * 2 * max(1, self.spec.num_kv_heads // tp)
+            * self.spec.head_dim * self.dtype.itemsize
+        )
+        budget = int(limit * self.config.gpu_memory_utilization) - weights // tp - _ACTIVATION_HEADROOM
+        num_blocks = max(16, budget // (kv_bytes_per_token * self.block_size))
+        # don't allocate more capacity than max_num_seqs full-length seqs need
+        cap = self.config.max_num_seqs * math.ceil(self.config.max_model_len / self.block_size)
+        return int(min(num_blocks, cap))
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        """Execute one engine step; returns one sampled token per sequence."""
+        if is_prefill:
+            batch = prepare_prefill(seqs, self.block_size)
+        else:
+            batch = prepare_decode(seqs, self.block_size)
+        n = batch.num_seqs
+        padded = pad_batch(
+            batch,
+            num_seqs=_next_bucket(n, self.seq_buckets),
+            num_tokens=_next_bucket(batch.token_ids.shape[1], self.token_buckets)
+            if is_prefill
+            else 1,
+            table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
+        )
+        self.rng, step_key = jax.random.split(self.rng)
+        tokens, self.kv_cache = self._step(
+            self.params,
+            self.kv_cache,
+            jnp.asarray(padded.token_ids),
+            jnp.asarray(padded.q_lens),
+            jnp.asarray(padded.context_lens),
+            jnp.asarray(padded.slot_mapping),
+            jnp.asarray(padded.block_tables),
+            jnp.asarray(padded.temperatures),
+            step_key,
+        )
+        return np.asarray(tokens)[:n].tolist()
+
+
+def _model_step(
+    params,
+    kv_cache,
+    token_ids,
+    q_lens,
+    context_lens,
+    slot_mapping,
+    block_tables,
+    temperatures,
+    key,
+    *,
+    forward_fn,
+    spec,
+    block_size,
+):
+    logits, kv_cache = forward_fn(
+        params, kv_cache, token_ids, q_lens, context_lens, slot_mapping, block_tables,
+        spec, block_size,
+    )
+    tokens = sample_tokens(logits, temperatures, key)
+    return tokens, kv_cache

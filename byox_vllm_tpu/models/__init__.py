@@ -1,0 +1,48 @@
+"""Model family registry.
+
+The reference supports one family (Qwen3 dense). The shared functional core
+in models/qwen3.py also covers Qwen2 (qkv bias, no q/k norm) and Llama (no
+bias, no q/k norm) because the three differ only in those two flags — the
+registry maps HF ``model_type`` to the right spec construction.
+"""
+
+from functools import partial
+
+from byox_vllm_tpu.models import qwen3 as _qwen3
+from byox_vllm_tpu.models.qwen3 import Qwen3Spec
+
+
+class _DecoderFamily:
+    """Binding of the shared functional decoder to one HF model_type."""
+
+    def __init__(self, qk_norm: bool):
+        self._qk_norm = qk_norm
+
+    def spec_from_hf(self, hf) -> Qwen3Spec:
+        return Qwen3Spec.from_hf_config(hf, qk_norm=self._qk_norm)
+
+    forward = staticmethod(_qwen3.forward)
+    init_params = staticmethod(_qwen3.init_params)
+
+    @staticmethod
+    def load_params(path, spec, dtype):
+        from byox_vllm_tpu.utils.loader import load_qwen3_params
+
+        return load_qwen3_params(path, spec, dtype)
+
+
+_REGISTRY = {
+    "qwen3": _DecoderFamily(qk_norm=True),
+    "qwen2": _DecoderFamily(qk_norm=False),
+    "llama": _DecoderFamily(qk_norm=False),
+    "mistral": _DecoderFamily(qk_norm=False),
+}
+
+
+def get_model(model_type: str):
+    try:
+        return _REGISTRY[model_type]
+    except KeyError:
+        raise ValueError(
+            f"unsupported model_type {model_type!r}; supported: {sorted(_REGISTRY)}"
+        ) from None

@@ -1,0 +1,187 @@
+"""Qwen3 dense decoder — TPU-native functional implementation.
+
+Capability parity with the reference model (nanovllm/models/qwen3.py:14-208):
+GQA attention with per-head q/k RMSNorm, half-split RoPE, SiLU-gated MLP,
+RMSNorm pre-norm residual structure, tied embeddings. Architecture differs
+deliberately:
+
+- pure functions over an explicit parameter pytree (no modules); the whole
+  forward lives inside one ``jax.jit``: XLA fuses what the reference needed
+  torch.compile decorators + CUDA graphs for
+- layers are stacked along a leading [L, ...] axis and iterated with
+  ``lax.scan``: one compiled layer body regardless of depth (fast compiles,
+  uniform sharding)
+- QKV and gate/up projections are fused at load time (the reference fuses
+  them via weight_loader shard copies, nanovllm/layers/linear.py:73-123)
+- attention metadata arrives as an explicit pytree argument, not via the
+  Context thread-global (nanovllm/utils/context.py)
+- KV cache is a paged slot pool threaded through the step function and
+  donated, not module attributes.
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from byox_vllm_tpu.ops.attention import paged_attention_dense
+from byox_vllm_tpu.ops.kv_cache import write_kv
+from byox_vllm_tpu.ops.norms import rms_norm
+from byox_vllm_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+
+
+@dataclass(frozen=True)
+class Qwen3Spec:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float
+    rope_theta: float
+    tie_word_embeddings: bool
+    attention_bias: bool
+    qk_norm: bool  # per-head q/k RMSNorm (Qwen3: yes; Qwen2/Llama: no)
+    max_position_embeddings: int
+
+    @classmethod
+    def from_hf_config(cls, hf, qk_norm: bool = True) -> "Qwen3Spec":
+        get = lambda name, default=None: getattr(hf, name, default)
+        num_heads = hf.num_attention_heads
+        return cls(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            intermediate_size=hf.intermediate_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=num_heads,
+            num_kv_heads=get("num_key_value_heads", num_heads),
+            head_dim=get("head_dim", None) or hf.hidden_size // num_heads,
+            rms_norm_eps=get("rms_norm_eps", 1e-6),
+            rope_theta=get("rope_theta", 1000000.0),
+            tie_word_embeddings=get("tie_word_embeddings", False),
+            attention_bias=get("attention_bias", False),
+            qk_norm=qk_norm,
+            max_position_embeddings=get("max_position_embeddings", 40960),
+        )
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def qkv_size(self) -> int:
+        return self.q_size + 2 * self.kv_size
+
+
+def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
+    """Random-initialized parameter pytree (for benchmarks / tests without a
+    checkpoint). Layout matches utils/loader.py output exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(rng.normal(0.0, scale, shape), dtype=dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=dtype)
+
+    layer_params = {
+        "attn_norm": ones(L, D),
+        "wqkv": w(L, D, spec.qkv_size),
+        "wo": w(L, spec.q_size, D),
+        "mlp_norm": ones(L, D),
+        "w_gate_up": w(L, D, 2 * F),
+        "w_down": w(L, F, D),
+    }
+    if spec.qk_norm:
+        layer_params["q_norm"] = ones(L, spec.head_dim)
+        layer_params["k_norm"] = ones(L, spec.head_dim)
+    params = {
+        "embed": w(spec.vocab_size, D),
+        "final_norm": ones(D),
+        "layers": layer_params,
+    }
+    if spec.attention_bias:
+        params["layers"]["bqkv"] = jnp.zeros((L, spec.qkv_size), dtype=dtype)
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = w(spec.vocab_size, D)
+    return params
+
+
+def forward(
+    params: dict,
+    kv_cache: jnp.ndarray,  # [L, 2, S, nkv, hd]
+    token_ids: jnp.ndarray,  # [B, Tq]
+    q_lens: jnp.ndarray,  # [B]
+    context_lens: jnp.ndarray,  # [B]
+    slot_mapping: jnp.ndarray,  # [B, Tq]
+    block_tables: jnp.ndarray,  # [B, W]
+    spec: Qwen3Spec,
+    block_size: int,
+    attention_fn: Any = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One model step (prefill when Tq > 1, decode when Tq == 1).
+
+    Returns (last-token logits [B, V] fp32, updated kv_cache). The reference
+    splits this across Qwen3Model.forward + compute_logits + the Context
+    side-channel (nanovllm/models/qwen3.py:168-208); here it is one jitted
+    program so XLA schedules/fuses across the whole step.
+    """
+    b, tq = token_ids.shape
+    positions = (context_lens - q_lens)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
+
+    h = params["embed"][token_ids]  # [B, Tq, D] gather
+    inv_freq = rope_inv_freq(spec.head_dim, spec.rope_theta)
+    cos, sin = rope_cos_sin(positions, inv_freq)  # [B, Tq, hd/2]
+    flat_slots = slot_mapping.reshape(-1)
+    scale = spec.head_dim**-0.5
+    attend = attention_fn or paged_attention_dense
+
+    def layer_step(h, xs):
+        lp, kv = xs  # layer params slice, [2, S, nkv, hd]
+        x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
+        qkv = jnp.einsum("btd,df->btf", x, lp["wqkv"], preferred_element_type=x.dtype)
+        if "bqkv" in lp:
+            qkv = qkv + lp["bqkv"]
+        q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
+        q = q.reshape(b, tq, spec.num_heads, spec.head_dim)
+        k = k.reshape(b, tq, spec.num_kv_heads, spec.head_dim)
+        v = v.reshape(b, tq, spec.num_kv_heads, spec.head_dim)
+        if spec.qk_norm:
+            q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_pool, v_pool = write_kv(
+            kv[0], kv[1], k.reshape(-1, spec.num_kv_heads, spec.head_dim),
+            v.reshape(-1, spec.num_kv_heads, spec.head_dim), flat_slots,
+        )
+        o = attend(q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale)
+        o = o.reshape(b, tq, spec.q_size)
+        h = h + jnp.einsum("btf,fd->btd", o, lp["wo"], preferred_element_type=h.dtype)
+
+        x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
+        gate_up = jnp.einsum("btd,df->btf", x, lp["w_gate_up"], preferred_element_type=x.dtype)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        y = jax.nn.silu(gate) * up
+        h = h + jnp.einsum("btf,fd->btd", y, lp["w_down"], preferred_element_type=h.dtype)
+        return h, jnp.stack([k_pool, v_pool])
+
+    h, new_kv = jax.lax.scan(layer_step, h, (params["layers"], kv_cache))
+    h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
+
+    last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
+    lm_head = params.get("lm_head", params["embed"])
+    logits = jnp.einsum("bd,vd->bv", h_last, lm_head, preferred_element_type=jnp.float32)
+    return logits, new_kv

@@ -1,0 +1,64 @@
+"""Paged causal attention over the KV block pool — XLA-native path.
+
+This is the dense fallback for the reference's flash-attn backends
+(nanovllm/layers/attention.py:67-97): one code path covers both varlen
+prefill (Tq = bucketed max new tokens) and paged decode (Tq = 1), because
+queries always attend to the *pool* (new K/V are scattered into it first).
+It is numerically exact and runs on any backend; the Pallas kernels in
+ops/paged_attention.py / ops/ragged_prefill.py replace it on TPU for
+performance.
+
+Shapes
+  q            [B, Tq, nh, hd]
+  k/v pool     [S, nkv, hd]  (slot-major paged pool)
+  block_tables [B, W] int32, -1 padding
+  context_lens [B]  total tokens (cached prefix + new)
+  positions    [B, Tq] absolute position of each query token
+
+Masking: key j of sequence b sits at absolute position j (pool slots are
+filled in position order), so the causal+validity mask is simply
+``j <= position(q) and j < context_len`` — padded key slots and padded rows
+(context_len 0) mask out, matching the reference's slot==-1 / cache_seqlens=0
+no-op conventions.
+"""
+
+import jax.numpy as jnp
+
+from byox_vllm_tpu.ops.kv_cache import gather_kv
+
+_NEG_INF = -1e9
+
+
+def paged_attention_dense(
+    q: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    positions: jnp.ndarray,
+    block_size: int,
+    scale: float,
+) -> jnp.ndarray:
+    b, tq, nh, hd = q.shape
+    nkv = k_pool.shape[1]
+    group = nh // nkv
+
+    k = gather_kv(k_pool, block_tables, block_size)  # [B, K, nkv, hd]
+    v = gather_kv(v_pool, block_tables, block_size)
+    kk = k.shape[1]
+
+    qg = q.reshape(b, tq, nkv, group, hd)
+    scores = jnp.einsum(
+        "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
+    ) * scale  # [B, nkv, g, Tq, K]
+
+    key_pos = jnp.arange(kk, dtype=jnp.int32)
+    valid = key_pos[None, :] < context_lens[:, None]  # [B, K]
+    causal = key_pos[None, None, :] <= positions[:, :, None]  # [B, Tq, K]
+    mask = (valid[:, None, :] & causal)[:, None, None, :, :]  # [B,1,1,Tq,K]
+
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
+    probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(b, tq, nh, hd)
