@@ -39,6 +39,7 @@ class Config:
     kv_cache_dtype: str = "auto"  # "auto" (= dtype) | "int8"
     quantization: str | None = None  # None | "int8" | "int4"
     attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
+    num_decode_steps: int = 8  # decode iterations per device call (1 = step-per-call)
     speculative_config: Any = None
     seed: int = 0
 

@@ -74,13 +74,18 @@ def prepare_prefill(seqs: list[Sequence], block_size: int) -> StepBatch:
     )
 
 
-def prepare_decode(seqs: list[Sequence], block_size: int) -> StepBatch:
+def prepare_decode(seqs: list[Sequence], block_size: int, lookahead: int = 1) -> StepBatch:
+    """Decode batch. With lookahead K > 1 the slot mapping covers the K
+    upcoming KV writes (positions len-1 .. len+K-2) so one device call can run
+    K sampling iterations on-chip; the block manager reserved the capacity in
+    ``may_append``."""
     n = len(seqs)
     token_ids = np.array([s.last_token for s in seqs], dtype=np.int32).reshape(n, 1)
-    slots = np.array(
-        [s.block_table[-1] * block_size + s.last_block_num_tokens - 1 for s in seqs],
-        dtype=np.int32,
-    ).reshape(n, 1)
+    slots = np.empty((n, lookahead), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        positions = len(s) - 1 + np.arange(lookahead)
+        block_ids = np.asarray(s.block_table, dtype=np.int64)[positions // block_size]
+        slots[i] = block_ids * block_size + positions % block_size
     return StepBatch(
         token_ids=token_ids,
         q_lens=np.ones(n, dtype=np.int32),
@@ -115,7 +120,8 @@ def pad_batch(batch: StepBatch, num_seqs: int, num_tokens: int, table_width: int
         token_ids=pad2(batch.token_ids, num_seqs, num_tokens, 0),
         q_lens=pad1(batch.q_lens, num_seqs, 0),
         context_lens=pad1(batch.context_lens, num_seqs, 0),
-        slot_mapping=pad2(batch.slot_mapping, num_seqs, num_tokens, -1),
+        # decode lookahead: slot mapping may be wider than the token window
+        slot_mapping=pad2(batch.slot_mapping, num_seqs, max(num_tokens, batch.slot_mapping.shape[1]), -1),
         block_tables=pad2(batch.block_tables, num_seqs, table_width, -1),
         temperatures=pad1(batch.temperatures, num_seqs, 1.0),
         is_prefill=batch.is_prefill,

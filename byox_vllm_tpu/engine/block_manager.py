@@ -86,12 +86,15 @@ class BlockManager:
     def can_allocate(self, seq: Sequence) -> bool:
         return len(self.free_block_ids) >= seq.num_blocks
 
-    def can_append(self, seq: Sequence) -> bool:
-        """True if the upcoming ``may_append`` cannot run out of blocks: a new
-        block is needed exactly when the token appended by the last step
-        opened a fresh block (len % block_size == 1)."""
-        needs_block = len(seq) % self.block_size == 1
-        return len(self.free_block_ids) >= int(needs_block)
+    def can_append(self, seq: Sequence, num_tokens: int = 1) -> bool:
+        """True if the upcoming ``may_append(num_tokens)`` cannot run out of
+        blocks. A decode call with ``num_tokens`` lookahead writes KV for
+        positions len-1 .. len+num_tokens-2, so the table must cover
+        len+num_tokens-1 tokens. num_tokens=1 reduces to the reference rule:
+        a new block is needed exactly when the last appended token opened one
+        (len % block_size == 1)."""
+        needed_blocks = -(-(len(seq) + num_tokens - 1) // self.block_size)
+        return len(self.free_block_ids) >= max(0, needed_blocks - len(seq.block_table))
 
     # -- allocation -------------------------------------------------------
 
@@ -135,28 +138,29 @@ class BlockManager:
         seq.num_cached_tokens = 0
         seq.block_table.clear()
 
-    def may_append(self, seq: Sequence) -> None:
-        """Called once per scheduled decode step, before the model runs, to
-        keep the block table consistent with the token appended last step."""
+    def may_append(self, seq: Sequence, num_tokens: int = 1) -> None:
+        """Called once per scheduled decode call, before the model runs:
+        (1) seal (hash) any blocks that filled since the last call — with
+        multi-token decode lookahead several may have filled at once;
+        (2) grow the block table to cover the ``num_tokens`` upcoming KV
+        writes. num_tokens=1 matches the reference's one-boundary-at-a-time
+        behavior (block_manager.py:83-107) exactly."""
         block_table = seq.block_table
-        last_block = self.blocks[block_table[-1]]
-        rem = len(seq) % self.block_size
-        if rem == 1:
-            # previous step sealed the last block; the newest token opens a new one
-            assert last_block.hash != -1
+        num_full = len(seq) // self.block_size
+        for i in range(num_full):
+            block = self.blocks[block_table[i]]
+            if block.hash != -1:
+                continue
+            token_ids = seq.block(i)
+            prefix = self.blocks[block_table[i - 1]].hash if i > 0 else -1
+            h = compute_block_hash(token_ids, prefix)
+            block.update(h, token_ids)
+            self.hash_to_block_id[h] = block.block_id
+        needed_blocks = -(-(len(seq) + num_tokens - 1) // self.block_size)
+        while len(block_table) < needed_blocks:
             block_id = self.free_block_ids[0]
             self._take_block(block_id)
             block_table.append(block_id)
-        elif rem == 0:
-            # the last block just filled: seal it with its chained hash
-            assert last_block.hash == -1
-            token_ids = seq.block(seq.num_blocks - 1)
-            prefix = self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
-            h = compute_block_hash(token_ids, prefix)
-            last_block.update(h, token_ids)
-            self.hash_to_block_id[h] = last_block.block_id
-        else:
-            assert last_block.hash == -1
 
     # -- internals --------------------------------------------------------
 

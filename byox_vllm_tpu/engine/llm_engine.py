@@ -43,7 +43,7 @@ class LLMEngine:
             config.eos = getattr(config.hf_config, "eos_token_id", -1) or -1
 
         self.model_runner = ModelRunner(config)  # fills config.num_kvcache_blocks
-        self.scheduler = Scheduler(config)
+        self.scheduler = Scheduler(config, decode_lookahead=config.num_decode_steps)
         self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
 
     # -- request lifecycle ------------------------------------------------
@@ -68,12 +68,12 @@ class LLMEngine:
         seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             return [], 0
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        self.scheduler.postprocess(seqs, token_ids)
+        token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
+        appended = self.scheduler.postprocess(seqs, token_ids)
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
         ]
-        num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else -len(seqs)
+        num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else -appended
         return outputs, num_tokens
 
     def is_finished(self) -> bool:

@@ -13,8 +13,8 @@ model_runner.py:17-297). The reference's machinery dissolves as follows:
   - Triton store_kvcache + flash-attn    ->  XLA scatter + paged attention
     (dense fallback now, Pallas kernels on TPU)
 
-The KV pool is one array [L, 2, num_slots, num_kv_heads, head_dim], donated
-into every step so XLA updates it in place.
+The KV pool is a per-layer pytree of (k, v) arrays [num_kv_heads, num_slots,
+head_dim], donated into every step so the scatters update HBM in place.
 """
 
 import math
@@ -57,9 +57,31 @@ def _pow2_buckets(lo: int, hi: int) -> list[int]:
     return out
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: step-program compiles (one per shape
+    bucket) are paid once per machine, not once per process. The reference
+    re-captures CUDA graphs on every startup (model_runner.py:256-297); TPU
+    serving restarts become cheap instead."""
+    import os
+
+    if os.environ.get("BYOX_NO_COMPILE_CACHE"):
+        return
+    if jax.default_backend() == "cpu":
+        return  # tests/dev: CPU programs compile fast; don't mix AOT results
+    try:
+        cache_dir = os.environ.get(
+            "BYOX_COMPILE_CACHE_DIR", os.path.expanduser("~/.cache/byox_vllm_tpu_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        logger.warning("compilation cache unavailable: %s", e)
+
+
 class ModelRunner:
     def __init__(self, config: Config, mesh=None):
         self.config = config
+        _enable_compilation_cache()
         hf = config.hf_config
         self.mesh = mesh if mesh is not None else make_mesh(
             config.tensor_parallel_size, config.data_parallel_size
@@ -86,17 +108,16 @@ class ModelRunner:
         from jax.sharding import NamedSharding
 
         kv_sharding = NamedSharding(self.mesh, kv_cache_spec())
-        self.kv_cache = jax.device_put(
-            jnp.zeros(
-                (self.spec.num_layers, 2, self.num_slots, self.spec.num_kv_heads, self.spec.head_dim),
-                dtype=kv_dtype,
-            ),
-            kv_sharding,
+        from byox_vllm_tpu.models.qwen3 import make_kv_cache
+
+        self.kv_cache = jax.tree.map(
+            lambda x: jax.device_put(x, kv_sharding),
+            make_kv_cache(self.spec, self.num_slots, kv_dtype),
         )
+        kv_bytes = sum(x.nbytes for lay in self.kv_cache for x in lay)
         logger.info(
             "KV pool: %d blocks x %d tokens (%.2f GiB)",
-            config.num_kvcache_blocks, self.block_size,
-            self.kv_cache.nbytes / 1024**3,
+            config.num_kvcache_blocks, self.block_size, kv_bytes / 1024**3,
         )
 
         # --- compiled step ----------------------------------------------
@@ -107,8 +128,19 @@ class ModelRunner:
                 forward_fn=self.forward_fn,
                 spec=self.spec,
                 block_size=self.block_size,
+                attention_backend=config.attention_backend,
             ),
             static_argnames=(),
+            donate_argnums=(1,),  # kv_cache
+        )
+        self._decode = jax.jit(
+            partial(
+                _multi_decode_step,
+                forward_fn=self.forward_fn,
+                spec=self.spec,
+                block_size=self.block_size,
+                attention_backend=config.attention_backend,
+            ),
             donate_argnums=(1,),  # kv_cache
         )
         # shape buckets
@@ -143,12 +175,16 @@ class ModelRunner:
         cap = self.config.max_num_seqs * math.ceil(self.config.max_model_len / self.block_size)
         return int(min(num_blocks, cap))
 
-    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
-        """Execute one engine step; returns one sampled token per sequence."""
+    def run(self, seqs: list[Sequence], is_prefill: bool, lookahead: int = 1) -> list:
+        """Execute one engine step. Prefill (or lookahead 1) returns one
+        sampled token per sequence; decode with lookahead K returns a list of
+        K tokens per sequence (sampled on-device without host round trips —
+        the TPU counterpart of replaying K CUDA graphs, minus K-1 host syncs).
+        """
         if is_prefill:
             batch = prepare_prefill(seqs, self.block_size)
         else:
-            batch = prepare_decode(seqs, self.block_size)
+            batch = prepare_decode(seqs, self.block_size, lookahead)
         n = batch.num_seqs
         padded = pad_batch(
             batch,
@@ -159,18 +195,31 @@ class ModelRunner:
             table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
         )
         self.rng, step_key = jax.random.split(self.rng)
-        tokens, self.kv_cache = self._step(
+        if is_prefill:
+            tokens, self.kv_cache = self._step(
+                self.params,
+                self.kv_cache,
+                jnp.asarray(padded.token_ids),
+                jnp.asarray(padded.q_lens),
+                jnp.asarray(padded.context_lens),
+                jnp.asarray(padded.slot_mapping),
+                jnp.asarray(padded.block_tables),
+                jnp.asarray(padded.temperatures),
+                step_key,
+            )
+            return np.asarray(tokens)[:n].tolist()
+        tokens, self.kv_cache = self._decode(
             self.params,
             self.kv_cache,
-            jnp.asarray(padded.token_ids),
-            jnp.asarray(padded.q_lens),
+            jnp.asarray(padded.token_ids[:, 0]),
             jnp.asarray(padded.context_lens),
             jnp.asarray(padded.slot_mapping),
             jnp.asarray(padded.block_tables),
             jnp.asarray(padded.temperatures),
             step_key,
         )
-        return np.asarray(tokens)[:n].tolist()
+        out = np.asarray(tokens)[:n]  # [n, K]
+        return out[:, 0].tolist() if lookahead == 1 else out.tolist()
 
 
 def _model_step(
@@ -187,10 +236,59 @@ def _model_step(
     forward_fn,
     spec,
     block_size,
+    attention_backend="auto",
 ):
+    from functools import partial as _partial
+
+    from byox_vllm_tpu.ops.attention import paged_attention
+
     logits, kv_cache = forward_fn(
         params, kv_cache, token_ids, q_lens, context_lens, slot_mapping, block_tables,
         spec, block_size,
+        attention_fn=_partial(paged_attention, backend=attention_backend),
     )
     tokens = sample_tokens(logits, temperatures, key)
     return tokens, kv_cache
+
+
+def _multi_decode_step(
+    params,
+    kv_cache,
+    last_tokens,  # [B]
+    context_lens,  # [B]
+    slot_mapping,  # [B, K]
+    block_tables,  # [B, W]
+    temperatures,  # [B]
+    key,
+    *,
+    forward_fn,
+    spec,
+    block_size,
+    attention_backend="auto",
+):
+    """K decode iterations in one device program: each iteration's sampled
+    token feeds the next iteration's forward without leaving the chip. The
+    KV pools ride the scan carry (updated in place by XLA's while-loop buffer
+    aliasing). Returns tokens [B, K]."""
+    from functools import partial as _partial
+
+    from byox_vllm_tpu.ops.attention import paged_attention
+
+    k_steps = slot_mapping.shape[1]
+    ones = jnp.ones_like(context_lens)
+    attention_fn = _partial(paged_attention, backend=attention_backend)
+
+    def body(carry, xs):
+        tokens, kv = carry
+        step_idx, slots_k = xs
+        logits, kv = forward_fn(
+            params, kv, tokens[:, None], ones, context_lens + step_idx,
+            slots_k[:, None], block_tables, spec, block_size,
+            attention_fn=attention_fn,
+        )
+        next_tokens = sample_tokens(logits, temperatures, jax.random.fold_in(key, step_idx))
+        return (next_tokens, kv), next_tokens
+
+    xs = (jnp.arange(k_steps, dtype=context_lens.dtype), slot_mapping.T)
+    (_, kv_cache), tokens = jax.lax.scan(body, (last_tokens, kv_cache), xs)
+    return tokens.T, kv_cache

@@ -14,6 +14,13 @@ Policy parity with the reference (nanovllm/engine/scheduler.py:9-98):
 - ``postprocess`` appends sampled tokens and finishes sequences on EOS
   (unless ignore_eos) or on hitting max_tokens.
 
+TPU extension — multi-step decode lookahead: one device call can run
+``decode_lookahead`` decode iterations on-chip (sampling feeds the next step
+without a host round trip), so each scheduled decode reserves KV capacity for
+that many tokens up front and ``postprocess`` consumes a token *list* per
+sequence, truncating at EOS / max_tokens / max_model_len. Lookahead 1
+reproduces the reference's step-for-step behavior.
+
 This layer is pure Python and holds no device state.
 """
 
@@ -26,20 +33,38 @@ from byox_vllm_tpu.utils.logging import logger
 
 
 class Scheduler:
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, decode_lookahead: int = 1):
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.max_model_len = config.max_model_len
         self.eos = config.eos
+        self.decode_lookahead = decode_lookahead
         assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set before building the scheduler"
         self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # lookahead actually reserved for the decode batch returned by the
+        # last schedule() call (may be smaller than decode_lookahead near
+        # the max_model_len ceiling)
+        self.last_lookahead = 1
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
 
     def add(self, seq: Sequence) -> None:
         self.waiting.append(seq)
+
+    def _pick_lookahead(self) -> int:
+        """Largest power-of-two lookahead (<= configured) every running seq
+        can take without crossing max_model_len — bounded set of shapes for
+        the compiled multi-step program."""
+        if not self.running:
+            return 1
+        headroom = min(self.max_model_len - len(s) + 1 for s in self.running)
+        k = self.decode_lookahead
+        while k > 1 and k > headroom:
+            k //= 2
+        return max(1, k)
 
     def schedule(self) -> tuple[list[Sequence], bool]:
         scheduled: list[Sequence] = []
@@ -64,12 +89,14 @@ class Scheduler:
             scheduled.append(seq)
         if scheduled:
             logger.debug("scheduled %d seqs for prefill (%d tokens)", len(scheduled), num_batched_tokens)
+            self.last_lookahead = 1
             return scheduled, True
 
         # decode pass
+        lookahead = self._pick_lookahead()
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_append(seq, lookahead):
                 if self.running:
                     self._preempt(self.running.pop())  # newest first
                 else:
@@ -77,20 +104,42 @@ class Scheduler:
                     break
             else:
                 num_seqs += 1
-                self.block_manager.may_append(seq)
+                self.block_manager.may_append(seq, lookahead)
                 scheduled.append(seq)
         if scheduled:
             # restore original order at the front of the running queue
             self.running.extendleft(reversed(scheduled))
+        self.last_lookahead = lookahead
         return scheduled, False
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> None:
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(token_id)
-            if (not seq.ignore_eos and token_id == self.eos) or seq.num_completion_tokens == seq.max_tokens:
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+    def postprocess(self, seqs: list[Sequence], token_ids: list) -> int:
+        """Append sampled tokens. Each entry may be one token id (reference
+        semantics) or a lookahead list; lists are truncated at the first
+        finish condition and surplus tokens are discarded. Returns the number
+        of tokens actually appended."""
+        appended = 0
+        for seq, tokens in zip(seqs, token_ids):
+            if not isinstance(tokens, (list, tuple)):
+                tokens = [tokens]
+            for token_id in tokens:
+                seq.append_token(token_id)
+                appended += 1
+                if self._check_finished(seq, token_id):
+                    break
+        return appended
+
+    def _check_finished(self, seq: Sequence, token_id: int) -> bool:
+        hit_eos = not seq.ignore_eos and token_id == self.eos
+        done = (
+            hit_eos
+            or seq.num_completion_tokens >= seq.max_tokens
+            or len(seq) >= self.max_model_len
+        )
+        if done:
+            seq.status = SequenceStatus.FINISHED
+            self.block_manager.deallocate(seq)
+            self.running.remove(seq)
+        return done
 
     def _preempt(self, seq: Sequence) -> None:
         logger.debug("preempting %s", seq)

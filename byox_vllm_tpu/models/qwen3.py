@@ -8,9 +8,9 @@ deliberately:
 - pure functions over an explicit parameter pytree (no modules); the whole
   forward lives inside one ``jax.jit``: XLA fuses what the reference needed
   torch.compile decorators + CUDA graphs for
-- layers are stacked along a leading [L, ...] axis and iterated with
-  ``lax.scan``: one compiled layer body regardless of depth (fast compiles,
-  uniform sharding)
+- layer weights are stacked along a leading [L, ...] axis (uniform loading
+  and sharding); the forward unrolls the layer loop statically so each
+  layer's KV-pool scatter stays an in-place HBM update (see forward())
 - QKV and gate/up projections are fused at load time (the reference fuses
   them via weight_loader shard copies, nanovllm/layers/linear.py:73-123)
 - attention metadata arrives as an explicit pytree argument, not via the
@@ -25,7 +25,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from byox_vllm_tpu.ops.attention import paged_attention_dense
+from byox_vllm_tpu.ops.attention import paged_attention
 from byox_vllm_tpu.ops.kv_cache import write_kv
 from byox_vllm_tpu.ops.norms import rms_norm
 from byox_vllm_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
@@ -82,14 +82,16 @@ class Qwen3Spec:
 
 def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
     """Random-initialized parameter pytree (for benchmarks / tests without a
-    checkpoint). Layout matches utils/loader.py output exactly."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
+    checkpoint). Layout matches utils/loader.py output exactly. Generated
+    on-device with jax.random (a host numpy init of a 0.6B model costs ~70s;
+    this takes well under a second)."""
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
     L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
 
     def w(*shape, scale=0.02):
-        return jnp.asarray(rng.normal(0.0, scale, shape), dtype=dtype)
+        counter[0] += 1
+        return scale * jax.random.normal(jax.random.fold_in(key, counter[0]), shape, dtype=dtype)
 
     def ones(*shape):
         return jnp.ones(shape, dtype=dtype)
@@ -119,7 +121,7 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
 
 def forward(
     params: dict,
-    kv_cache: jnp.ndarray,  # [L, 2, S, nkv, hd]
+    kv_cache: list,  # per layer: (k_pool, v_pool), each [S, nkv*hd]
     token_ids: jnp.ndarray,  # [B, Tq]
     q_lens: jnp.ndarray,  # [B]
     context_lens: jnp.ndarray,  # [B]
@@ -128,13 +130,20 @@ def forward(
     spec: Qwen3Spec,
     block_size: int,
     attention_fn: Any = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
     Returns (last-token logits [B, V] fp32, updated kv_cache). The reference
     splits this across Qwen3Model.forward + compute_logits + the Context
     side-channel (nanovllm/models/qwen3.py:168-208); here it is one jitted
     program so XLA schedules/fuses across the whole step.
+
+    The layer loop is a static Python unroll (not lax.scan) on purpose: the
+    KV pools are separate per-layer donated arrays, so the per-layer scatter
+    lowers to a true in-place HBM update. Streaming the pool through scan
+    xs/ys forces XLA to copy the full pool every step — measured 4x slower
+    at serving pool sizes. Layer weights stay stacked [L, ...]; indexing a
+    static layer is a free slice.
     """
     b, tq = token_ids.shape
     positions = (context_lens - q_lens)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
@@ -144,10 +153,12 @@ def forward(
     cos, sin = rope_cos_sin(positions, inv_freq)  # [B, Tq, hd/2]
     flat_slots = slot_mapping.reshape(-1)
     scale = spec.head_dim**-0.5
-    attend = attention_fn or paged_attention_dense
+    attend = attention_fn or paged_attention
+    layers = params["layers"]
 
-    def layer_step(h, xs):
-        lp, kv = xs  # layer params slice, [2, S, nkv, hd]
+    new_kv = []
+    for i in range(spec.num_layers):
+        lp = {name: w[i] for name, w in layers.items()}
         x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
         qkv = jnp.einsum("btd,df->btf", x, lp["wqkv"], preferred_element_type=x.dtype)
         if "bqkv" in lp:
@@ -163,9 +174,11 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         k_pool, v_pool = write_kv(
-            kv[0], kv[1], k.reshape(-1, spec.num_kv_heads, spec.head_dim),
+            kv_cache[i][0], kv_cache[i][1],
+            k.reshape(-1, spec.num_kv_heads, spec.head_dim),
             v.reshape(-1, spec.num_kv_heads, spec.head_dim), flat_slots,
         )
+        new_kv.append((k_pool, v_pool))
         o = attend(q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale)
         o = o.reshape(b, tq, spec.q_size)
         h = h + jnp.einsum("btf,fd->btd", o, lp["wo"], preferred_element_type=h.dtype)
@@ -175,13 +188,19 @@ def forward(
         gate, up = jnp.split(gate_up, 2, axis=-1)
         y = jax.nn.silu(gate) * up
         h = h + jnp.einsum("btf,fd->btd", y, lp["w_down"], preferred_element_type=h.dtype)
-        return h, jnp.stack([k_pool, v_pool])
 
-    h, new_kv = jax.lax.scan(layer_step, h, (params["layers"], kv_cache))
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
-
     last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
     lm_head = params.get("lm_head", params["embed"])
     logits = jnp.einsum("bd,vd->bv", h_last, lm_head, preferred_element_type=jnp.float32)
     return logits, new_kv
+
+
+def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16) -> list:
+    """Per-layer (k_pool, v_pool) pytree, each [num_slots, nkv*hd]
+    (token-major flat rows; see ops/kv_cache.py for why)."""
+    shape = (num_slots, spec.num_kv_heads * spec.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(spec.num_layers)
+    ]

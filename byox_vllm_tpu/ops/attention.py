@@ -10,7 +10,7 @@ performance.
 
 Shapes
   q            [B, Tq, nh, hd]
-  k/v pool     [S, nkv, hd]  (slot-major paged pool)
+  k/v pool     [S, nkv*hd]  (token-major flat paged pool)
   block_tables [B, W] int32, -1 padding
   context_lens [B]  total tokens (cached prefix + new)
   positions    [B, Tq] absolute position of each query token
@@ -22,11 +22,34 @@ filled in position order), so the causal+validity mask is simply
 no-op conventions.
 """
 
+import jax
 import jax.numpy as jnp
 
 from byox_vllm_tpu.ops.kv_cache import gather_kv
 
 _NEG_INF = -1e9
+
+
+def paged_attention(
+    q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+    backend: str = "auto",
+):
+    """Backend dispatch: Pallas decode kernel on TPU for Tq == 1 (the
+    throughput path), XLA dense fallback everywhere else. Tq is a static
+    shape, so the branch resolves at trace time."""
+    tq = q.shape[1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if tq == 1 and backend != "dense" and (backend == "pallas" or on_tpu):
+        from byox_vllm_tpu.ops.paged_attention import paged_decode_attention
+
+        out = paged_decode_attention(
+            q[:, 0], k_pool, v_pool, block_tables, context_lens,
+            block_size=block_size, scale=scale, interpret=not on_tpu,
+        )
+        return out[:, None]
+    return paged_attention_dense(
+        q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale
+    )
 
 
 def paged_attention_dense(
@@ -40,11 +63,11 @@ def paged_attention_dense(
     scale: float,
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
-    nkv = k_pool.shape[1]
+    nkv = k_pool.shape[1] // hd
     group = nh // nkv
 
-    k = gather_kv(k_pool, block_tables, block_size)  # [B, K, nkv, hd]
-    v = gather_kv(v_pool, block_tables, block_size)
+    k = gather_kv(k_pool, block_tables, block_size, hd)  # [B, K, nkv, hd]
+    v = gather_kv(v_pool, block_tables, block_size, hd)
     kk = k.shape[1]
 
     qg = q.reshape(b, tq, nkv, group, hd)

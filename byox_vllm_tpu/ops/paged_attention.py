@@ -1,0 +1,148 @@
+"""Pallas paged decode attention (TPU).
+
+The performance replacement for the reference's ``flash_attn_with_kvcache``
+paged decode path (nanovllm/layers/attention.py:88-96), designed for TPU:
+
+- the KV pool is token-major ``[num_slots, nkv*hd]`` (see ops/kv_cache.py);
+  a page view [block_size, nkv*hd] = e.g. (64, 1024) is a perfectly aligned
+  VMEM tile, and per-head keys are static lane slices of it
+- grid (B, W): the scalar-prefetched block table drives the BlockSpec
+  index_map, so the Pallas pipeline DMAs exactly the pages each sequence
+  needs from HBM into VMEM (double-buffered by the runtime) — no gathered
+  K/V copy is ever materialized in HBM, unlike the XLA-gather fallback
+- online softmax (flash-style m/l/acc running state in VMEM scratch,
+  carried across the W page steps of each sequence)
+- GQA: per-kv-head queries [group, head_dim] against the page [bs, head_dim]
+- padding conventions preserved: block id -1 => clamped DMA + fully masked;
+  context_len 0 rows produce zeros (the reference no-ops padded rows the
+  same way via cache_seqlens=0).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _decode_kernel(
+    # scalar prefetch
+    block_tables_ref,  # [B, W] int32 (SMEM)
+    context_lens_ref,  # [B] int32 (SMEM)
+    # blocks
+    q_ref,  # [1, nh, hd]
+    k_ref,  # [1, bs, nkv*hd]
+    v_ref,  # [1, bs, nkv*hd]
+    o_ref,  # [1, nh, hd]
+    # scratch
+    m_ref,  # [nh, 128] fp32
+    l_ref,  # [nh, 128] fp32
+    acc_ref,  # [nh, hd] fp32
+    *,
+    scale: float,
+    block_size: int,
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    w = pl.program_id(1)
+    num_pages = pl.num_programs(1)
+
+    @pl.when(w == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    ctx = context_lens_ref[b]
+    valid = ctx - w * block_size  # tokens of this page in-context (may be <=0)
+
+    @pl.when(valid > 0)
+    def _page():
+        col = jax.lax.broadcasted_iota(jnp.int32, (group, block_size), 1)
+        for h in range(num_kv_heads):
+            rows = slice(h * group, (h + 1) * group)
+            lanes = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_ref[0, rows, :].astype(jnp.float32)  # [g, hd]
+            k = k_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
+            v = v_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [g, bs]
+            s = jnp.where(col < valid, s, _NEG_INF)
+
+            m_prev = m_ref[rows, 0:1]  # [g, 1]
+            l_prev = l_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)  # [g, bs]
+            alpha = jnp.exp(m_prev - m_new)  # [g, 1]
+            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[rows, 0:1] = m_new
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [g, hd]
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+
+    @pl.when(w == num_pages - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[:, 0:1], 1e-20)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "scale", "interpret")
+)
+def paged_decode_attention(
+    q: jnp.ndarray,  # [B, nh, hd]
+    k_pool: jnp.ndarray,  # [S, nkv*hd]
+    v_pool: jnp.ndarray,  # [S, nkv*hd]
+    block_tables: jnp.ndarray,  # [B, W] int32, -1 padding
+    context_lens: jnp.ndarray,  # [B] int32
+    *,
+    block_size: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, nh, hd = q.shape
+    s, f = k_pool.shape
+    nkv = f // hd
+    w = block_tables.shape[1]
+    group = nh // nkv
+    num_blocks = s // block_size
+    kp = k_pool.reshape(num_blocks, block_size, f)
+    vp = v_pool.reshape(num_blocks, block_size, f)
+    tables = jnp.maximum(block_tables, 0).astype(jnp.int32)  # clamp -1 (masked anyway)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, w),
+        in_specs=[
+            pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
+            pl.BlockSpec((1, block_size, f), lambda i, j, bt, ctx: (bt[i, j], 0, 0)),
+            pl.BlockSpec((1, block_size, f), lambda i, j, bt, ctx: (bt[i, j], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nh, 128), jnp.float32),
+            pltpu.VMEM((nh, 128), jnp.float32),
+            pltpu.VMEM((nh, hd), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        scale=scale,
+        block_size=block_size,
+        num_kv_heads=nkv,
+        group=group,
+        head_dim=hd,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+        interpret=interpret,
+    )(tables, context_lens.astype(jnp.int32), q, kp, vp)

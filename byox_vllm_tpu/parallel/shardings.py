@@ -45,8 +45,8 @@ def qwen3_param_specs(params: dict) -> dict:
 
 
 def kv_cache_spec() -> P:
-    # [L, 2, num_slots, num_kv_heads, head_dim]: shard kv heads on 'model'
-    return P(None, None, None, M, None)
+    # per-layer pools [num_slots, nkv*hd]: kv-head feature dim on 'model'
+    return P(None, M)
 
 
 def batch_specs() -> dict:

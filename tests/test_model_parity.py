@@ -59,7 +59,9 @@ def hf_logits(model, token_ids):
 
 
 def fresh_kv(spec, num_slots=512):
-    return jnp.zeros((spec.num_layers, 2, num_slots, spec.num_kv_heads, spec.head_dim), jnp.float32)
+    from byox_vllm_tpu.models.qwen3 import make_kv_cache
+
+    return make_kv_cache(spec, num_slots, jnp.float32)
 
 
 def run_step(spec, params, kv, batch):

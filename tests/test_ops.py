@@ -1,5 +1,5 @@
 """Unit tests for device ops: KV pool scatter/gather, paged attention masking,
-sampler semantics."""
+sampler semantics. Pool layout is head-major [nkv, num_slots, head_dim]."""
 
 import jax
 import jax.numpy as jnp
@@ -11,24 +11,24 @@ from byox_vllm_tpu.ops.sampler import sample_tokens
 
 
 def test_write_kv_drops_padding_slots():
-    k_pool = jnp.zeros((8, 2, 4))
-    v_pool = jnp.zeros((8, 2, 4))
-    k_new = jnp.ones((3, 2, 4))
+    k_pool = jnp.zeros((8, 2 * 4))  # [S, nkv*hd]
+    v_pool = jnp.zeros((8, 2 * 4))
+    k_new = jnp.ones((3, 2, 4))  # [N, nkv, hd]
     v_new = 2 * jnp.ones((3, 2, 4))
     slots = jnp.array([1, -1, 5], dtype=jnp.int32)
     k_pool, v_pool = write_kv(k_pool, v_pool, k_new, v_new, slots)
     assert np.asarray(k_pool[1]).sum() == 8
     assert np.asarray(k_pool[5]).sum() == 8
-    assert np.asarray(k_pool).sum() == 16  # nothing else written
+    assert np.asarray(k_pool).sum() == 16  # nothing else written (slot -1 dropped)
     assert np.asarray(v_pool).sum() == 32
 
 
 def test_gather_kv_padding_blocks_zero():
-    pool = jnp.arange(8 * 2 * 4, dtype=jnp.float32).reshape(8, 2, 4) + 1.0
+    pool = jnp.arange(8 * 2 * 4, dtype=jnp.float32).reshape(8, 2 * 4) + 1.0
     tables = jnp.array([[1, -1]], dtype=jnp.int32)
-    out = gather_kv(pool, tables, block_size=2)  # [1, 4, 2, 4]
-    np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(pool[2]))
-    np.testing.assert_array_equal(np.asarray(out[0, 1]), np.asarray(pool[3]))
+    out = gather_kv(pool, tables, block_size=2, head_dim=4)  # [1, 4, 2, 4]
+    np.testing.assert_array_equal(np.asarray(out[0, 0]).ravel(), np.asarray(pool[2]))
+    np.testing.assert_array_equal(np.asarray(out[0, 1]).ravel(), np.asarray(pool[3]))
     assert np.asarray(out[0, 2:]).sum() == 0  # padded block gathers zeros
 
 
@@ -41,8 +41,8 @@ def test_paged_attention_matches_naive():
     v = jnp.asarray(rng.normal(size=(B, T, nkv, hd)), jnp.float32)
 
     # write k/v into pool blocks 3 and 1 (out of order on purpose)
-    pool_k = jnp.zeros((8 * bs, nkv, hd), jnp.float32)
-    pool_v = jnp.zeros((8 * bs, nkv, hd), jnp.float32)
+    pool_k = jnp.zeros((8 * bs, nkv * hd), jnp.float32)
+    pool_v = jnp.zeros((8 * bs, nkv * hd), jnp.float32)
     table = jnp.array([[3, 1]], dtype=jnp.int32)
     slots = jnp.array([3 * bs + 0, 3 * bs + 1, 3 * bs + 2, 3 * bs + 3, 1 * bs + 0, 1 * bs + 1], jnp.int32)
     pool_k, pool_v = write_kv(pool_k, pool_v, k[0], v[0], slots)

@@ -1,0 +1,73 @@
+"""Pallas paged decode kernel vs the dense XLA fallback (interpret mode on
+CPU; the compiled path runs on real TPU via bench/driver)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byox_vllm_tpu.ops.attention import paged_attention_dense
+from byox_vllm_tpu.ops.kv_cache import write_kv
+from byox_vllm_tpu.ops.paged_attention import paged_decode_attention
+
+
+def make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens):
+    num_slots = 8 * bs * max(1, b)
+    q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
+    k_pool = jnp.zeros((num_slots, nkv * hd), jnp.float32)
+    v_pool = jnp.zeros((num_slots, nkv * hd), jnp.float32)
+    tables = np.full((b, w), -1, np.int32)
+    next_block = 0
+    for i, ctx in enumerate(ctx_lens):
+        nblk = -(-ctx // bs) if ctx else 0
+        slots = []
+        for j in range(nblk):
+            tables[i, j] = next_block
+            lo = j * bs
+            hi = min(ctx, lo + bs)
+            slots += list(range(next_block * bs + 0, next_block * bs + hi - lo))
+            next_block += 1
+        if slots:
+            kv_rows = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+            vv_rows = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+            k_pool, v_pool = write_kv(k_pool, v_pool, kv_rows, vv_rows, jnp.asarray(slots, jnp.int32))
+    return q, k_pool, v_pool, jnp.asarray(tables), jnp.asarray(ctx_lens, jnp.int32)
+
+
+@pytest.mark.parametrize(
+    "ctx_lens",
+    [
+        [7],  # single short seq, partial page
+        [16, 9, 32],  # mixed, exact page boundary
+        [1, 0, 40, 25],  # includes a padding row (ctx 0)
+    ],
+)
+def test_kernel_matches_dense(ctx_lens):
+    rng = np.random.default_rng(0)
+    b, nh, nkv, hd, bs = len(ctx_lens), 8, 4, 128, 16
+    w = 4
+    q, kp, vp, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    scale = hd**-0.5
+    positions = (ctx - 1)[:, None]
+
+    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale)
+    out = paged_decode_attention(
+        q[:, 0], kp, vp, tables, ctx, block_size=bs, scale=scale, interpret=True
+    )
+    # padding rows (ctx 0): kernel returns zeros; dense returns garbage-masked
+    # uniform average — compare only valid rows
+    valid = np.asarray(ctx) > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=1e-5, atol=1e-5
+    )
+    assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0
+
+
+def test_kernel_gqa_group1():
+    """nh == nkv (no grouping) still works."""
+    rng = np.random.default_rng(1)
+    q, kp, vp, tables, ctx = make_case(rng, 2, 4, 4, 128, 16, 2, [20, 31])
+    out = paged_decode_attention(
+        q[:, 0], kp, vp, tables, ctx, block_size=16, scale=128**-0.5, interpret=True
+    )
+    ref = paged_attention_dense(q, kp, vp, tables, ctx, (ctx - 1)[:, None], 16, 128**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-5, atol=1e-5)

@@ -27,7 +27,9 @@ def test_tp_matches_single_device():
     params = init_params(spec, jnp.float32)
     b, tq, w = 2, 16, 4
     arrays = ge._batch_arrays(b, tq, w, block_size)[:5]
-    kv = jnp.zeros((spec.num_layers, 2, 32 * block_size, spec.num_kv_heads, spec.head_dim), jnp.float32)
+    from byox_vllm_tpu.models.qwen3 import make_kv_cache
+
+    kv = make_kv_cache(spec, 32 * block_size, jnp.float32)
 
     def run(params_, kv_, arrays_):
         logits, new_kv = forward(params_, kv_, *arrays_, spec, block_size)
@@ -37,7 +39,7 @@ def test_tp_matches_single_device():
 
     mesh = make_mesh(tensor_parallel_size=4, data_parallel_size=2)
     sharded_params = shard_params(params, mesh)
-    kv_sharded = jax.device_put(kv, NamedSharding(mesh, kv_cache_spec()))
+    kv_sharded = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, kv_cache_spec())), kv)
     bspecs = batch_specs()
     names = ["token_ids", "q_lens", "context_lens", "slot_mapping", "block_tables"]
     sharded_arrays = tuple(
