@@ -127,6 +127,11 @@ class BlockManager:
                 block.update(h, token_ids)
                 self.hash_to_block_id[h] = block_id
             seq.block_table.append(block_id)
+        if seq.num_cached_tokens == len(seq):
+            # Fully-cached prompt: recompute the last token anyway — sampling
+            # the next token needs its logits. (The reference would submit an
+            # empty query chunk here, model_runner.py:169-178 — a latent bug.)
+            seq.num_cached_tokens = len(seq) - 1
         logger.debug("allocated %s blocks for %s (%d cached)", seq.num_blocks, seq, seq.num_cached_tokens)
 
     def deallocate(self, seq: Sequence) -> None:

@@ -143,12 +143,16 @@ class ModelRunner:
             ),
             donate_argnums=(1,),  # kv_cache
         )
-        # shape buckets
+        # Shape buckets. Every distinct shape is a separate compiled program
+        # (and on this backend each program load costs ~1s per process), so
+        # the bucket sets are deliberately small: block-table width is always
+        # padded to the max (the Pallas kernel skips out-of-context pages, so
+        # padded width is nearly free).
         dp = config.data_parallel_size
         self.seq_buckets = [b for b in _pow2_buckets(max(8, dp), max(8, config.max_num_seqs))]
         self.token_buckets = _pow2_buckets(16, config.max_model_len)
         max_table_width = math.ceil(config.max_model_len / self.block_size)
-        self.table_buckets = _pow2_buckets(1, max(1, max_table_width))
+        self.table_buckets = [max(1, max_table_width)]
 
     # ------------------------------------------------------------------
 

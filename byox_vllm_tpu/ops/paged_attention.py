@@ -117,13 +117,20 @@ def paged_decode_attention(
     vp = v_pool.reshape(num_blocks, block_size, f)
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)  # clamp -1 (masked anyway)
 
+    def page_index(i, j, bt, ctx):
+        # Clamp past-the-context pages to the sequence's last valid page: the
+        # Pallas pipeline skips the DMA when the block index repeats between
+        # consecutive grid steps, so padded table width costs ~nothing.
+        last_valid = jnp.maximum((ctx[i] - 1) // block_size, 0)
+        return (bt[i, jnp.minimum(j, last_valid)], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, w),
         in_specs=[
             pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
-            pl.BlockSpec((1, block_size, f), lambda i, j, bt, ctx: (bt[i, j], 0, 0)),
-            pl.BlockSpec((1, block_size, f), lambda i, j, bt, ctx: (bt[i, j], 0, 0)),
+            pl.BlockSpec((1, block_size, f), page_index),
+            pl.BlockSpec((1, block_size, f), page_index),
         ],
         out_specs=pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
         scratch_shapes=[

@@ -88,10 +88,11 @@ def test_stale_hash_mapping_kept_on_free():
     assert bm.blocks[0].hash == h  # kept
     assert h in bm.hash_to_block_id  # stale entry kept by design
 
-    # freed-block hit still works: same tokens resurrect block 0
+    # freed-block hit still works: same tokens resurrect block 0. A fully
+    # cached prompt keeps one token uncached (its logits must be computed).
     a2 = make_seq([1, 2, 3, 4])
     bm.allocate(a2)
-    assert a2.block_table == [0] and a2.num_cached_tokens == 4
+    assert a2.block_table == [0] and a2.num_cached_tokens == 3
     bm.deallocate(a2)
 
     # overwrite block 0 with different content; the stale entry for h now

@@ -179,3 +179,32 @@ def test_prefix_cache_hit_same_output(tiny_model):
             eos_token_id=None, pad_token_id=0,
         )[0, len(prompt):].tolist()
     assert first == ref
+
+
+def test_fully_cached_prompt_still_computes_logits(tiny_model):
+    """A prompt whose every block is prefix-cached must still produce correct
+    next-token logits (the engine recomputes the last token; submitting an
+    empty query chunk would sample from garbage)."""
+    model, _, path = tiny_model
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    llm = LLM(
+        path,
+        dtype="float32",
+        max_model_len=256,
+        max_num_batched_tokens=256,
+        num_kvcache_blocks=64,
+        kvcache_block_size=BS,
+    )
+    prompt = list(range(10, 42))  # exactly 2 full blocks of 16: fully cacheable
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    first = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    second = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    with torch.no_grad():
+        ref = model.generate(
+            torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    assert first == ref
+    assert second == ref  # the fully-cached rerun must match, not garbage
