@@ -126,3 +126,41 @@ def pad_batch(batch: StepBatch, num_seqs: int, num_tokens: int, table_width: int
         temperatures=pad1(batch.temperatures, num_seqs, 1.0),
         is_prefill=batch.is_prefill,
     )
+
+
+def prepare_spec_verify(
+    seqs: list[Sequence], drafts: list[list[int]], block_size: int, num_spec_tokens: int
+) -> tuple[StepBatch, np.ndarray, np.ndarray]:
+    """Verification batch for speculative decoding: row b packs the last real
+    token followed by its draft tokens (query positions len-1 .. len-1+d).
+    Returns (StepBatch with Tq = num_spec_tokens + 1, draft matrix [B, K],
+    num_drafts [B])."""
+    n = len(seqs)
+    tq = num_spec_tokens + 1
+    token_ids = np.zeros((n, tq), dtype=np.int32)
+    slot_mapping = np.full((n, tq), -1, dtype=np.int32)
+    q_lens = np.empty(n, dtype=np.int32)
+    context_lens = np.empty(n, dtype=np.int32)
+    draft_matrix = np.zeros((n, num_spec_tokens), dtype=np.int32)
+    num_drafts = np.zeros(n, dtype=np.int32)
+    for i, (seq, d) in enumerate(zip(seqs, drafts)):
+        nd = len(d)
+        token_ids[i, 0] = seq.last_token
+        token_ids[i, 1 : 1 + nd] = d
+        draft_matrix[i, :nd] = d
+        num_drafts[i] = nd
+        q_lens[i] = 1 + nd
+        context_lens[i] = len(seq) + nd
+        positions = len(seq) - 1 + np.arange(1 + nd)
+        block_ids = np.asarray(seq.block_table, dtype=np.int64)[positions // block_size]
+        slot_mapping[i, : 1 + nd] = block_ids * block_size + positions % block_size
+    batch = StepBatch(
+        token_ids=token_ids,
+        q_lens=q_lens,
+        context_lens=context_lens,
+        slot_mapping=slot_mapping,
+        block_tables=_block_tables(seqs),
+        temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),
+        is_prefill=False,
+    )
+    return batch, draft_matrix, num_drafts

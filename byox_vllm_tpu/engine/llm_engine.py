@@ -43,7 +43,23 @@ class LLMEngine:
             config.eos = getattr(config.hf_config, "eos_token_id", -1) or -1
 
         self.model_runner = ModelRunner(config)  # fills config.num_kvcache_blocks
-        self.scheduler = Scheduler(config, decode_lookahead=config.num_decode_steps)
+
+        # speculative decoding (the reference accepts this config and drops
+        # it, llm_engine.py:18; here it is wired end to end)
+        self.proposer = None
+        self.spec_metrics = None
+        lookahead = config.num_decode_steps
+        sc = config.speculative_config
+        if sc is not None and sc.method is not None:
+            assert sc.method == "ngram", f"unsupported speculative method {sc.method!r}"
+            from byox_vllm_tpu.engine.spec import NgramProposer, SpecMetrics
+
+            self.proposer = NgramProposer(
+                sc.num_speculative_tokens, sc.prompt_lookup_min, sc.prompt_lookup_max
+            )
+            self.spec_metrics = SpecMetrics()
+            lookahead = sc.num_speculative_tokens + 1
+        self.scheduler = Scheduler(config, decode_lookahead=lookahead)
         self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
 
     # -- request lifecycle ------------------------------------------------
@@ -68,7 +84,16 @@ class LLMEngine:
         seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             return [], 0
-        token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
+        if not is_prefill and self.proposer is not None:
+            max_draft = self.scheduler.last_lookahead - 1
+            drafts = [self.proposer.propose(s.token_ids)[:max_draft] for s in seqs]
+            token_ids, accepted = self.model_runner.run_spec(
+                seqs, drafts, self.proposer.k
+            )
+            for d, a in zip(drafts, accepted):
+                self.spec_metrics.record(len(d), min(int(a), len(d)))
+        else:
+            token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
         appended = self.scheduler.postprocess(seqs, token_ids)
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from byox_vllm_tpu.config import Config
-from byox_vllm_tpu.engine.batch_prep import StepBatch, pad_batch, prepare_decode, prepare_prefill
+from byox_vllm_tpu.engine.batch_prep import (
+    pad_batch,
+    prepare_decode,
+    prepare_prefill,
+    prepare_spec_verify,
+)
 from byox_vllm_tpu.engine.sequence import Sequence
 from byox_vllm_tpu.models import get_model
 from byox_vllm_tpu.ops.sampler import sample_tokens
@@ -143,6 +148,16 @@ class ModelRunner:
             ),
             donate_argnums=(1,),  # kv_cache
         )
+        self._spec_verify = jax.jit(
+            partial(
+                _spec_verify_step,
+                forward_fn=self.forward_fn,
+                spec=self.spec,
+                block_size=self.block_size,
+                attention_backend=config.attention_backend,
+            ),
+            donate_argnums=(1,),  # kv_cache
+        )
         # Shape buckets. Every distinct shape is a separate compiled program
         # (and on this backend each program load costs ~1s per process), so
         # the bucket sets are deliberately small: block-table width is always
@@ -225,6 +240,46 @@ class ModelRunner:
         out = np.asarray(tokens)[:n]  # [n, K]
         return out[:, 0].tolist() if lookahead == 1 else out.tolist()
 
+    def run_spec(
+        self, seqs: list[Sequence], drafts: list[list[int]], num_spec_tokens: int
+    ) -> tuple[list[list[int]], np.ndarray]:
+        """Speculative verify step: scores each sequence's draft window in one
+        model call and rejection-samples on device. Returns (emitted token
+        lists per sequence, accepted-draft counts)."""
+        batch, draft_matrix, num_drafts = prepare_spec_verify(
+            seqs, drafts, self.block_size, num_spec_tokens
+        )
+        n = batch.num_seqs
+        bucket = _next_bucket(n, self.seq_buckets)
+        padded = pad_batch(
+            batch,
+            num_seqs=bucket,
+            num_tokens=batch.token_ids.shape[1],
+            table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
+        )
+        def pad_rows(arr, fill=0):
+            out = np.full((bucket,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[:n] = arr
+            return out
+
+        self.rng, step_key = jax.random.split(self.rng)
+        tokens, num_emitted, self.kv_cache = self._spec_verify(
+            self.params,
+            self.kv_cache,
+            jnp.asarray(padded.token_ids),
+            jnp.asarray(padded.q_lens),
+            jnp.asarray(padded.context_lens),
+            jnp.asarray(padded.slot_mapping),
+            jnp.asarray(padded.block_tables),
+            jnp.asarray(pad_rows(draft_matrix)),
+            jnp.asarray(pad_rows(num_drafts)),
+            jnp.asarray(padded.temperatures),
+            step_key,
+        )
+        tokens = np.asarray(tokens)[:n]
+        num_emitted = np.asarray(num_emitted)[:n]
+        return [tokens[i, : num_emitted[i]].tolist() for i in range(n)], num_emitted - 1
+
 
 def _model_step(
     params,
@@ -296,3 +351,39 @@ def _multi_decode_step(
     xs = (jnp.arange(k_steps, dtype=context_lens.dtype), slot_mapping.T)
     (_, kv_cache), tokens = jax.lax.scan(body, (last_tokens, kv_cache), xs)
     return tokens.T, kv_cache
+
+
+def _spec_verify_step(
+    params,
+    kv_cache,
+    token_ids,  # [B, K+1]: last real token then draft tokens
+    q_lens,  # [B] = 1 + num_drafts
+    context_lens,  # [B] = len + num_drafts
+    slot_mapping,  # [B, K+1]
+    block_tables,  # [B, W]
+    draft_tokens,  # [B, K]
+    num_drafts,  # [B]
+    temperatures,  # [B]
+    key,
+    *,
+    forward_fn,
+    spec,
+    block_size,
+    attention_backend="auto",
+):
+    """Speculative verify: one forward over the draft window scoring every
+    position, then vectorized rejection sampling (ops/spec_sampler.py).
+    Returns (tokens [B, K+1], num_emitted [B], kv_cache)."""
+    from functools import partial as _partial
+
+    from byox_vllm_tpu.ops.attention import paged_attention
+    from byox_vllm_tpu.ops.spec_sampler import verify_and_sample
+
+    logits, kv_cache = forward_fn(
+        params, kv_cache, token_ids, q_lens, context_lens, slot_mapping, block_tables,
+        spec, block_size,
+        attention_fn=_partial(paged_attention, backend=attention_backend),
+        all_logits=True,
+    )
+    tokens, num_emitted = verify_and_sample(logits, draft_tokens, num_drafts, temperatures, key)
+    return tokens, num_emitted, kv_cache

@@ -130,10 +130,13 @@ def forward(
     spec: Qwen3Spec,
     block_size: int,
     attention_fn: Any = None,
+    all_logits: bool = False,
 ) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
-    Returns (last-token logits [B, V] fp32, updated kv_cache). The reference
+    Returns (last-token logits [B, V] fp32 — or [B, Tq, V] when
+    ``all_logits`` is set, as the speculative-decode verify step needs a
+    distribution at every draft position — and the updated kv_cache). The reference
     splits this across Qwen3Model.forward + compute_logits + the Context
     side-channel (nanovllm/models/qwen3.py:168-208); here it is one jitted
     program so XLA schedules/fuses across the whole step.
@@ -190,9 +193,12 @@ def forward(
         h = h + jnp.einsum("btf,fd->btd", y, lp["w_down"], preferred_element_type=h.dtype)
 
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
+    lm_head = params.get("lm_head", params["embed"])
+    if all_logits:
+        logits = jnp.einsum("btd,vd->btv", h, lm_head, preferred_element_type=jnp.float32)
+        return logits, new_kv
     last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
-    lm_head = params.get("lm_head", params["embed"])
     logits = jnp.einsum("bd,vd->bv", h_last, lm_head, preferred_element_type=jnp.float32)
     return logits, new_kv
 

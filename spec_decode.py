@@ -1,0 +1,56 @@
+"""Speculative-decoding demo + acceptance metrics.
+
+Counterpart of the reference's spec_decode.py / vllm_ngram.py pair: runs
+ngram prompt-lookup speculative decoding and prints the acceptance metrics
+surface the reference demonstrates against real vLLM (vllm_ngram.py:70-104):
+drafts, draft tokens, accepted tokens, per-position acceptance rate, mean
+acceptance length.
+
+Without a checkpoint (zero-egress environment) it runs the Qwen3-0.6B
+geometry with random weights on repetitive token-id prompts (ngram-friendly).
+"""
+
+import json
+import os
+import sys
+
+from byox_vllm_tpu import LLM, SamplingParams
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.expanduser("~/huggingface/Qwen3-0.6B/")
+    spec_cfg = {
+        "method": "ngram",
+        "num_speculative_tokens": 4,
+        "prompt_lookup_max": 3,
+        "prompt_lookup_min": 1,
+    }
+    if os.path.isdir(path):
+        llm = LLM(path, max_model_len=4096, speculative_config=spec_cfg)
+        prompts = [
+            "Repeat after me: the quick brown fox jumps over the lazy dog. "
+            "The quick brown fox jumps over the lazy dog. The quick",
+            "Count: 1 2 3 4 5 6 7 8 9 10 1 2 3 4 5 6 7",
+        ]
+        sp = SamplingParams(temperature=0.6, max_tokens=256)
+    else:
+        from bench import QWEN3_0_6B
+
+        llm = LLM(
+            hf_config=dict(QWEN3_0_6B),
+            max_model_len=512,
+            max_num_batched_tokens=2048,
+            speculative_config=spec_cfg,
+        )
+        prompts = [([5, 6, 7, 8] * 16)[:50], ([11, 12, 13] * 20)[:45]]
+        sp = SamplingParams(temperature=0.6, max_tokens=128, ignore_eos=True)
+
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    for out in outs:
+        print(f"completion ({len(out['token_ids'])} tokens): {out['text'][:120] or out['token_ids'][:24]}")
+
+    print(json.dumps(llm.spec_metrics.summary(), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Speculative decoding: proposer behavior, rejection-sampler guarantees, and
+the end-to-end invariant that greedy spec output equals greedy non-spec
+output (speculative decoding must never change the distribution)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from byox_vllm_tpu.engine.spec import NgramProposer, SpecMetrics
+
+
+def test_ngram_proposer_finds_recent_match():
+    p = NgramProposer(num_speculative_tokens=3, prompt_lookup_min=1, prompt_lookup_max=3)
+    #           0  1  2  3  4  5  6  7
+    tokens = [5, 6, 7, 9, 9, 5, 6, 7]  # trailing [5,6,7] matched at 0
+    assert p.propose(tokens) == [9, 9, 5]
+
+    # most recent occurrence wins
+    tokens = [1, 2, 8, 1, 2, 3, 1, 2]
+    assert p.propose(tokens) == [8, 1, 2][:3] or p.propose(tokens) == [3, 1, 2]
+    assert p.propose(tokens) == [3, 1, 2]  # match at index 3, follow = [3, 1, 2]
+
+    # no recurrence -> no drafts
+    assert p.propose([1, 2, 3, 4, 5]) == []
+
+
+def test_ngram_proposer_prefers_longer_ngram():
+    p = NgramProposer(2, 1, 3)
+    # trailing 1-gram [4] appears at idx 0 (follow 9) but trailing 2-gram
+    # [3, 4] appears at idx 2 (follow 7, 4): longer match wins
+    tokens = [4, 9, 3, 4, 7, 4, 8, 3, 4]
+    assert p.propose(tokens) == [7, 4]
+
+
+def test_verify_and_sample_greedy_semantics():
+    import jax
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.ops.spec_sampler import verify_and_sample
+
+    v = 16
+    # seq 0: drafts [3, 5]; model greedy argmax at pos0=3 (accept), pos1=7
+    # (reject 5 -> emit 7). seq 1: drafts [2, 4] all greedy-matching ->
+    # accept both + bonus argmax at pos2 = 9.
+    logits = np.full((2, 3, v), -10.0, np.float32)
+    logits[0, 0, 3] = 5.0
+    logits[0, 1, 7] = 5.0
+    logits[1, 0, 2] = 5.0
+    logits[1, 1, 4] = 5.0
+    logits[1, 2, 9] = 5.0
+    drafts = jnp.asarray([[3, 5], [2, 4]], jnp.int32)
+    nd = jnp.asarray([2, 2], jnp.int32)
+    temps = jnp.zeros(2, jnp.float32)
+    tokens, emitted = verify_and_sample(jnp.asarray(logits), drafts, nd, temps, jax.random.PRNGKey(0))
+    tokens, emitted = np.asarray(tokens), np.asarray(emitted)
+    assert emitted.tolist() == [2, 3]
+    assert tokens[0, :2].tolist() == [3, 7]
+    assert tokens[1, :3].tolist() == [2, 4, 9]
+
+
+def test_verify_no_drafts_is_plain_sampling():
+    import jax
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.ops.spec_sampler import verify_and_sample
+
+    logits = np.full((1, 2, 8), -10.0, np.float32)
+    logits[0, 0, 6] = 5.0
+    tokens, emitted = verify_and_sample(
+        jnp.asarray(logits), jnp.zeros((1, 1), jnp.int32), jnp.asarray([0]),
+        jnp.zeros(1, jnp.float32), jax.random.PRNGKey(0),
+    )
+    assert np.asarray(emitted).tolist() == [1]
+    assert np.asarray(tokens)[0, 0] == 6
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    model = Qwen3ForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("tiny_qwen3_spec")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_spec_greedy_matches_plain_greedy(tiny_model_dir):
+    """The core spec-decode guarantee: greedy output is unchanged."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=16,
+    )
+    # small vocab (64) makes ngram repeats frequent -> drafts actually fire
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7, 8, 7, 8, 7, 8]]
+    sp = SamplingParams(temperature=0.0, max_tokens=24)
+
+    plain = LLM(tiny_model_dir, **common).generate(prompts, sp, use_tqdm=False)
+    spec_llm = LLM(
+        tiny_model_dir,
+        speculative_config={
+            "method": "ngram", "num_speculative_tokens": 4,
+            "prompt_lookup_max": 3, "prompt_lookup_min": 1,
+        },
+        **common,
+    )
+    spec = spec_llm.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, spec):
+        assert a["token_ids"] == b["token_ids"]
+    m = spec_llm.spec_metrics.summary()
+    assert m["num_drafts"] > 0  # the proposer actually proposed
+    assert m["mean_acceptance_length"] >= 1.0
+
+
+def test_spec_metrics_accounting():
+    m = SpecMetrics()
+    m.record(num_draft=3, num_accepted=2)
+    m.record(num_draft=3, num_accepted=0)
+    m.record(num_draft=0, num_accepted=0)  # no-draft windows don't count
+    s = m.summary()
+    assert s["num_drafts"] == 2
+    assert s["num_draft_tokens"] == 6
+    assert s["num_accepted_tokens"] == 2
+    assert s["acceptance_rate_per_pos"] == [0.5, 0.5, 0.0]
+    assert abs(s["mean_acceptance_length"] - 2.0) < 1e-9
