@@ -41,6 +41,8 @@ def main():
     from byox_vllm_tpu.sampling_params import SamplingParams
 
     random.seed(0)
+    quant = os.environ.get("BYOX_BENCH_QUANT")  # None | int8 | int4
+    kv_dtype = os.environ.get("BYOX_BENCH_KV", "auto")  # auto | int8
     llm = LLM(
         hf_config=dict(QWEN3_0_6B),
         max_model_len=256,
@@ -48,6 +50,8 @@ def main():
         max_num_seqs=256,
         gpu_memory_utilization=0.7,
         num_decode_steps=16,
+        quantization=quant,
+        kv_cache_dtype=kv_dtype,
     )
 
     prompts = [
@@ -79,10 +83,13 @@ def main():
     total_tokens = sum(sp.max_tokens for sp in sampling)
     tok_s = total_tokens / dt
 
+    tag = "bf16" if not quant else quant
+    if kv_dtype != "auto":
+        tag += f"_kv{kv_dtype}"
     print(
         json.dumps(
             {
-                "metric": "offline_throughput_qwen3_0.6b_bf16",
+                "metric": f"offline_throughput_qwen3_0.6b_{tag}",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": 1.0,

@@ -29,6 +29,12 @@ class StepBatch:
     block_tables: np.ndarray  # [B, W] int32; -1 = padding
     temperatures: np.ndarray  # [B] float32
     is_prefill: bool
+    top_k: np.ndarray | None = None  # [B] int32; 0 = off
+    top_p: np.ndarray | None = None  # [B] float32; 1.0 = off
+
+    @property
+    def needs_filters(self) -> bool:
+        return self.top_k is not None
 
     @property
     def num_seqs(self) -> int:
@@ -37,6 +43,17 @@ class StepBatch:
     @property
     def total_new_tokens(self) -> int:
         return int(self.q_lens.sum())
+
+
+def _sampling_filters(seqs: list[Sequence]):
+    """(top_k, top_p) arrays if any sequence uses them, else (None, None) —
+    keeping the common path on the cheaper no-filter compiled program."""
+    if any(s.top_k > 0 or s.top_p < 1.0 for s in seqs):
+        return (
+            np.array([s.top_k for s in seqs], dtype=np.int32),
+            np.array([s.top_p for s in seqs], dtype=np.float32),
+        )
+    return None, None
 
 
 def _block_tables(seqs: list[Sequence]) -> np.ndarray:
@@ -71,6 +88,8 @@ def prepare_prefill(seqs: list[Sequence], block_size: int) -> StepBatch:
         block_tables=_block_tables(seqs),
         temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),
         is_prefill=True,
+        top_k=_sampling_filters(seqs)[0],
+        top_p=_sampling_filters(seqs)[1],
     )
 
 
@@ -94,6 +113,8 @@ def prepare_decode(seqs: list[Sequence], block_size: int, lookahead: int = 1) ->
         block_tables=_block_tables(seqs),
         temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),
         is_prefill=False,
+        top_k=_sampling_filters(seqs)[0],
+        top_p=_sampling_filters(seqs)[1],
     )
 
 
@@ -125,6 +146,8 @@ def pad_batch(batch: StepBatch, num_seqs: int, num_tokens: int, table_width: int
         block_tables=pad2(batch.block_tables, num_seqs, table_width, -1),
         temperatures=pad1(batch.temperatures, num_seqs, 1.0),
         is_prefill=batch.is_prefill,
+        top_k=None if batch.top_k is None else pad1(batch.top_k, num_seqs, 0),
+        top_p=None if batch.top_p is None else pad1(batch.top_p, num_seqs, np.float32(1.0)),
     )
 
 

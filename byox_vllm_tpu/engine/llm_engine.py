@@ -15,6 +15,7 @@ by sequence id. Differences:
 import time
 
 from byox_vllm_tpu.config import Config, config_from_kwargs
+from byox_vllm_tpu.engine.metrics import EngineMetrics
 from byox_vllm_tpu.engine.model_runner import ModelRunner
 from byox_vllm_tpu.engine.scheduler import Scheduler
 from byox_vllm_tpu.engine.sequence import Sequence
@@ -61,6 +62,7 @@ class LLMEngine:
             lookahead = sc.num_speculative_tokens + 1
         self.scheduler = Scheduler(config, decode_lookahead=lookahead)
         self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
+        self.metrics = EngineMetrics()
 
     # -- request lifecycle ------------------------------------------------
 
@@ -74,6 +76,7 @@ class LLMEngine:
             f"prompt length {len(token_ids)} outside (0, {self.config.max_model_len}]"
         )
         seq = Sequence(token_ids, self.config.kvcache_block_size, sampling_params)
+        seq.arrival_time = time.perf_counter()
         self.scheduler.add(seq)
         return seq
 
@@ -95,6 +98,17 @@ class LLMEngine:
         else:
             token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
         appended = self.scheduler.postprocess(seqs, token_ids)
+        now = time.perf_counter()
+        for seq in seqs:
+            if seq.first_token_time is None and seq.num_completion_tokens > 0:
+                seq.first_token_time = now
+            if seq.is_finished and seq.finish_time is None:
+                seq.finish_time = now
+                self.metrics.record_request(seq)
+        if is_prefill:
+            self.metrics.prefill_tokens += sum(len(s) - s.num_cached_tokens for s in seqs)
+        else:
+            self.metrics.decode_tokens += appended
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
         ]

@@ -93,6 +93,11 @@ class ModelRunner:
         )
         model_cls = get_model(getattr(hf, "model_type", "qwen3"))
         self.spec = model_cls.spec_from_hf(hf)
+        if config.quantization:
+            from dataclasses import replace
+
+            bits = {"int8": 8, "int4": 4}[config.quantization]
+            self.spec = replace(self.spec, quant_bits=bits)
         self.forward_fn = model_cls.forward
         self.block_size = config.kvcache_block_size
         self.dtype = jnp.dtype(config.dtype)
@@ -110,6 +115,7 @@ class ModelRunner:
             config.num_kvcache_blocks = self._compute_num_blocks()
         self.num_slots = config.num_kvcache_blocks * self.block_size
         kv_dtype = self.dtype if config.kv_cache_dtype == "auto" else jnp.dtype(config.kv_cache_dtype)
+        assert config.kv_cache_dtype in ("auto", "int8"), config.kv_cache_dtype
         from jax.sharding import NamedSharding
 
         kv_sharding = NamedSharding(self.mesh, kv_cache_spec())
@@ -184,9 +190,12 @@ class ModelRunner:
             return 2048  # tests / CPU dev: fixed small pool
         weights = param_bytes(self.params)
         tp = self.config.tensor_parallel_size
+        if self.config.kv_cache_dtype == "int8":
+            per_head_bytes = self.spec.head_dim + 4  # int8 row + f32 scale
+        else:
+            per_head_bytes = self.spec.head_dim * self.dtype.itemsize
         kv_bytes_per_token = (
-            self.spec.num_layers * 2 * max(1, self.spec.num_kv_heads // tp)
-            * self.spec.head_dim * self.dtype.itemsize
+            self.spec.num_layers * 2 * max(1, self.spec.num_kv_heads // tp) * per_head_bytes
         )
         budget = int(limit * self.config.gpu_memory_utilization) - weights // tp - _ACTIVATION_HEADROOM
         num_blocks = max(16, budget // (kv_bytes_per_token * self.block_size))
@@ -214,6 +223,9 @@ class ModelRunner:
             table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
         )
         self.rng, step_key = jax.random.split(self.rng)
+        filters = None
+        if padded.top_k is not None:
+            filters = (jnp.asarray(padded.top_k), jnp.asarray(padded.top_p))
         if is_prefill:
             tokens, self.kv_cache = self._step(
                 self.params,
@@ -225,6 +237,7 @@ class ModelRunner:
                 jnp.asarray(padded.block_tables),
                 jnp.asarray(padded.temperatures),
                 step_key,
+                filters,
             )
             return np.asarray(tokens)[:n].tolist()
         tokens, self.kv_cache = self._decode(
@@ -236,6 +249,7 @@ class ModelRunner:
             jnp.asarray(padded.block_tables),
             jnp.asarray(padded.temperatures),
             step_key,
+            filters,
         )
         out = np.asarray(tokens)[:n]  # [n, K]
         return out[:, 0].tolist() if lookahead == 1 else out.tolist()
@@ -291,6 +305,7 @@ def _model_step(
     block_tables,
     temperatures,
     key,
+    filters=None,
     *,
     forward_fn,
     spec,
@@ -306,7 +321,8 @@ def _model_step(
         spec, block_size,
         attention_fn=_partial(paged_attention, backend=attention_backend),
     )
-    tokens = sample_tokens(logits, temperatures, key)
+    top_k, top_p = filters if filters is not None else (None, None)
+    tokens = sample_tokens(logits, temperatures, key, top_k=top_k, top_p=top_p)
     return tokens, kv_cache
 
 
@@ -319,6 +335,7 @@ def _multi_decode_step(
     block_tables,  # [B, W]
     temperatures,  # [B]
     key,
+    filters=None,
     *,
     forward_fn,
     spec,
@@ -345,7 +362,10 @@ def _multi_decode_step(
             slots_k[:, None], block_tables, spec, block_size,
             attention_fn=attention_fn,
         )
-        next_tokens = sample_tokens(logits, temperatures, jax.random.fold_in(key, step_idx))
+        top_k, top_p = filters if filters is not None else (None, None)
+        next_tokens = sample_tokens(
+            logits, temperatures, jax.random.fold_in(key, step_idx), top_k=top_k, top_p=top_p
+        )
         return (next_tokens, kv), next_tokens
 
     xs = (jnp.arange(k_steps, dtype=context_lens.dtype), slot_mapping.T)

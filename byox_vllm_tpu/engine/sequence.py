@@ -42,6 +42,10 @@ class Sequence:
         # Speculative decoding: number of draft tokens scheduled for
         # verification this step (0 on the normal 1-token decode path).
         self.num_draft_tokens = 0
+        # request-level timing (engine metrics: TTFT, latency)
+        self.arrival_time: float | None = None
+        self.first_token_time: float | None = None
+        self.finish_time: float | None = None
 
     def __len__(self):
         return self.num_tokens

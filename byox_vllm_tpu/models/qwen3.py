@@ -26,9 +26,35 @@ import jax
 import jax.numpy as jnp
 
 from byox_vllm_tpu.ops.attention import paged_attention
-from byox_vllm_tpu.ops.kv_cache import write_kv
+from byox_vllm_tpu.ops.kv_cache import write_kv, write_kv_quant
 from byox_vllm_tpu.ops.norms import rms_norm
+from byox_vllm_tpu.ops.quant import quant_matmul, quantize_weight
 from byox_vllm_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+
+QUANTIZED_LAYER_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
+
+
+def _linear(x, w, quant_bits):
+    """x [..., K] @ w — w is either a dense [K, M] array or a quantized
+    {"q", "s"} pytree (fused dequant-matmul on TPU)."""
+    if isinstance(w, dict):
+        return quant_matmul(x, w, quant_bits)
+    return jnp.einsum("btd,df->btf", x, w, preferred_element_type=x.dtype)
+
+
+def _slice_layer(w, i):
+    if isinstance(w, dict):
+        return {k: v[i] for k, v in w.items()}
+    return w[i]
+
+
+def quantize_layer_params(layer_params: dict, bits: int) -> dict:
+    """Quantize the four big per-layer matmul weights (stacked [L, K, M]);
+    norms/bias stay dense."""
+    out = dict(layer_params)
+    for name in QUANTIZED_LAYER_WEIGHTS:
+        out[name] = quantize_weight(layer_params[name], bits)
+    return out
 
 
 @dataclass(frozen=True)
@@ -46,6 +72,7 @@ class Qwen3Spec:
     attention_bias: bool
     qk_norm: bool  # per-head q/k RMSNorm (Qwen3: yes; Qwen2/Llama: no)
     max_position_embeddings: int
+    quant_bits: int | None = None  # weight-only quantization: None | 8 | 4
 
     @classmethod
     def from_hf_config(cls, hf, qk_norm: bool = True) -> "Qwen3Spec":
@@ -116,6 +143,8 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
         params["layers"]["bqkv"] = jnp.zeros((L, spec.qkv_size), dtype=dtype)
     if not spec.tie_word_embeddings:
         params["lm_head"] = w(spec.vocab_size, D)
+    if spec.quant_bits is not None:
+        params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
     return params
 
 
@@ -161,9 +190,9 @@ def forward(
 
     new_kv = []
     for i in range(spec.num_layers):
-        lp = {name: w[i] for name, w in layers.items()}
+        lp = {name: _slice_layer(w, i) for name, w in layers.items()}
         x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
-        qkv = jnp.einsum("btd,df->btf", x, lp["wqkv"], preferred_element_type=x.dtype)
+        qkv = _linear(x, lp["wqkv"], spec.quant_bits)
         if "bqkv" in lp:
             qkv = qkv + lp["bqkv"]
         q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
@@ -176,21 +205,28 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_pool, v_pool = write_kv(
-            kv_cache[i][0], kv_cache[i][1],
-            k.reshape(-1, spec.num_kv_heads, spec.head_dim),
-            v.reshape(-1, spec.num_kv_heads, spec.head_dim), flat_slots,
+        k_flat = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
+        v_flat = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
+        if len(kv_cache[i]) == 4:  # int8 KV cache with per-(token, head) scales
+            k_pool, v_pool, ks, vs = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
+            new_kv.append((k_pool, v_pool, ks, vs))
+            kv_scales = (ks, vs)
+        else:
+            k_pool, v_pool = write_kv(kv_cache[i][0], kv_cache[i][1], k_flat, v_flat, flat_slots)
+            new_kv.append((k_pool, v_pool))
+            kv_scales = None
+        o = attend(
+            q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+            kv_scales=kv_scales,
         )
-        new_kv.append((k_pool, v_pool))
-        o = attend(q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale)
         o = o.reshape(b, tq, spec.q_size)
-        h = h + jnp.einsum("btf,fd->btd", o, lp["wo"], preferred_element_type=h.dtype)
+        h = h + _linear(o, lp["wo"], spec.quant_bits)
 
         x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
-        gate_up = jnp.einsum("btd,df->btf", x, lp["w_gate_up"], preferred_element_type=x.dtype)
+        gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         y = jax.nn.silu(gate) * up
-        h = h + jnp.einsum("btf,fd->btd", y, lp["w_down"], preferred_element_type=h.dtype)
+        h = h + _linear(y, lp["w_down"], spec.quant_bits)
 
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed"])
@@ -204,9 +240,22 @@ def forward(
 
 
 def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16) -> list:
-    """Per-layer (k_pool, v_pool) pytree, each [num_slots, nkv*hd]
-    (token-major flat rows; see ops/kv_cache.py for why)."""
+    """Per-layer KV pool pytree, each pool [num_slots, nkv*hd] token-major
+    flat rows (see ops/kv_cache.py for why). dtype int8 selects the
+    quantized cache: per-layer (k, v, k_scale, v_scale) with per-(token,
+    head) scales."""
     shape = (num_slots, spec.num_kv_heads * spec.head_dim)
+    if jnp.dtype(dtype) == jnp.int8:
+        sshape = (num_slots, spec.num_kv_heads)
+        return [
+            (
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32),
+                jnp.zeros(sshape, jnp.float32),
+            )
+            for _ in range(spec.num_layers)
+        ]
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(spec.num_layers)
     ]

@@ -25,7 +25,7 @@ no-op conventions.
 import jax
 import jax.numpy as jnp
 
-from byox_vllm_tpu.ops.kv_cache import gather_kv
+from byox_vllm_tpu.ops.kv_cache import gather_kv, gather_kv_quant
 
 _NEG_INF = -1e9
 
@@ -33,6 +33,7 @@ _NEG_INF = -1e9
 def paged_attention(
     q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
     backend: str = "auto",
+    kv_scales=None,  # (k_scale [S, nkv], v_scale [S, nkv]) when the pool is int8
 ):
     """Backend dispatch: Pallas decode kernel on TPU for Tq == 1 (the
     throughput path), XLA dense fallback everywhere else. Tq is a static
@@ -45,10 +46,12 @@ def paged_attention(
         out = paged_decode_attention(
             q[:, 0], k_pool, v_pool, block_tables, context_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
+            kv_scales=kv_scales,
         )
         return out[:, None]
     return paged_attention_dense(
-        q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale
+        q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+        kv_scales=kv_scales,
     )
 
 
@@ -61,13 +64,18 @@ def paged_attention_dense(
     positions: jnp.ndarray,
     block_size: int,
     scale: float,
+    kv_scales=None,
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
     nkv = k_pool.shape[1] // hd
     group = nh // nkv
 
-    k = gather_kv(k_pool, block_tables, block_size, hd)  # [B, K, nkv, hd]
-    v = gather_kv(v_pool, block_tables, block_size, hd)
+    if kv_scales is not None:
+        k = gather_kv_quant(k_pool, kv_scales[0], block_tables, block_size, hd, q.dtype)
+        v = gather_kv_quant(v_pool, kv_scales[1], block_tables, block_size, hd, q.dtype)
+    else:
+        k = gather_kv(k_pool, block_tables, block_size, hd)  # [B, K, nkv, hd]
+        v = gather_kv(v_pool, block_tables, block_size, hd)
     kk = k.shape[1]
 
     qg = q.reshape(b, tq, nkv, group, hd)

@@ -51,3 +51,60 @@ def gather_kv(pool: jnp.ndarray, block_tables: jnp.ndarray, block_size: int, hea
     slots = jnp.where(block_tables[:, :, None] < 0, num_slots, slots).reshape(b, w * block_size)
     gathered = jnp.take(pool, slots, axis=0, mode="fill", fill_value=0)  # [B, K, nkv*hd]
     return gathered.reshape(b, w * block_size, nkv, head_dim)
+
+
+# --- INT8 KV cache (north-star option: halves decode attention traffic) ----
+
+KV_QMAX = 127.0
+
+
+def write_kv_quant(
+    k_pool: jnp.ndarray,  # [S, nkv*hd] int8
+    v_pool: jnp.ndarray,  # [S, nkv*hd] int8
+    k_scale: jnp.ndarray,  # [S, nkv] f32
+    v_scale: jnp.ndarray,  # [S, nkv] f32
+    k_new: jnp.ndarray,  # [N, nkv, hd] float
+    v_new: jnp.ndarray,  # [N, nkv, hd] float
+    slot_mapping: jnp.ndarray,  # [N] int32, -1 = padding (dropped)
+):
+    """Per-(token, head) symmetric int8 quantization at cache-write time.
+    Scales live in a parallel [S, nkv] array; all four scatters are
+    leading-axis (in-place, see module docstring)."""
+    num_slots = k_pool.shape[0]
+    n, nkv, hd = k_new.shape
+    slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
+
+    def quantize(rows):
+        rows = rows.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1), 1e-8) / KV_QMAX  # [N, nkv]
+        q = jnp.clip(jnp.round(rows / scale[..., None]), -KV_QMAX, KV_QMAX)
+        return q.reshape(n, nkv * hd).astype(jnp.int8), scale
+
+    kq, ks = quantize(k_new)
+    vq, vs = quantize(v_new)
+    k_pool = k_pool.at[slots].set(kq, mode="drop")
+    v_pool = v_pool.at[slots].set(vq, mode="drop")
+    k_scale = k_scale.at[slots].set(ks, mode="drop")
+    v_scale = v_scale.at[slots].set(vs, mode="drop")
+    return k_pool, v_pool, k_scale, v_scale
+
+
+def gather_kv_quant(
+    pool: jnp.ndarray,  # [S, nkv*hd] int8
+    scale: jnp.ndarray,  # [S, nkv] f32
+    block_tables: jnp.ndarray,
+    block_size: int,
+    head_dim: int,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Dequantizing gather (XLA fallback path) -> [B, K, nkv, hd] float."""
+    b, w = block_tables.shape
+    num_slots = pool.shape[0]
+    nkv = pool.shape[1] // head_dim
+    offsets = jnp.arange(block_size, dtype=block_tables.dtype)
+    slots = block_tables[:, :, None] * block_size + offsets[None, None, :]
+    slots = jnp.where(block_tables[:, :, None] < 0, num_slots, slots).reshape(b * w * block_size)
+    rows = jnp.take(pool, slots, axis=0, mode="fill", fill_value=0)
+    scales = jnp.take(scale, slots, axis=0, mode="fill", fill_value=0)
+    deq = rows.reshape(-1, nkv, head_dim).astype(jnp.float32) * scales[..., None]
+    return deq.reshape(b, w * block_size, nkv, head_dim).astype(out_dtype)

@@ -36,18 +36,18 @@ def _decode_kernel(
     q_ref,  # [1, nh, hd]
     k_ref,  # [1, bs, nkv*hd]
     v_ref,  # [1, bs, nkv*hd]
-    o_ref,  # [1, nh, hd]
-    # scratch
-    m_ref,  # [nh, 128] fp32
-    l_ref,  # [nh, 128] fp32
-    acc_ref,  # [nh, hd] fp32
-    *,
+    *rest,  # [ks_ref, vs_ref (1, bs, nkv) when int8], o_ref, scratch m/l/acc
     scale: float,
     block_size: int,
     num_kv_heads: int,
     group: int,
     head_dim: int,
+    quantized: bool,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     w = pl.program_id(1)
     num_pages = pl.num_programs(1)
@@ -70,6 +70,9 @@ def _decode_kernel(
             q = q_ref[0, rows, :].astype(jnp.float32)  # [g, hd]
             k = k_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
             v = v_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
+            if quantized:
+                k = k * ks_ref[0, :, h][:, None]
+                v = v * vs_ref[0, :, h][:, None]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [g, bs]
@@ -106,6 +109,7 @@ def paged_decode_attention(
     block_size: int,
     scale: float,
     interpret: bool = False,
+    kv_scales=None,
 ) -> jnp.ndarray:
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -115,6 +119,7 @@ def paged_decode_attention(
     num_blocks = s // block_size
     kp = k_pool.reshape(num_blocks, block_size, f)
     vp = v_pool.reshape(num_blocks, block_size, f)
+    quantized = kv_scales is not None
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)  # clamp -1 (masked anyway)
 
     def page_index(i, j, bt, ctx):
@@ -124,14 +129,24 @@ def paged_decode_attention(
         last_valid = jnp.maximum((ctx[i] - 1) // block_size, 0)
         return (bt[i, jnp.minimum(j, last_valid)], 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
+        pl.BlockSpec((1, block_size, f), page_index),
+        pl.BlockSpec((1, block_size, f), page_index),
+    ]
+    operands = [q, kp, vp]
+    if quantized:
+        ks = kv_scales[0].reshape(num_blocks, block_size, nkv)
+        vs = kv_scales[1].reshape(num_blocks, block_size, nkv)
+        in_specs += [
+            pl.BlockSpec((1, block_size, nkv), page_index),
+            pl.BlockSpec((1, block_size, nkv), page_index),
+        ]
+        operands += [ks, vs]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, w),
-        in_specs=[
-            pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
-            pl.BlockSpec((1, block_size, f), page_index),
-            pl.BlockSpec((1, block_size, f), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nh, 128), jnp.float32),
@@ -146,10 +161,11 @@ def paged_decode_attention(
         num_kv_heads=nkv,
         group=group,
         head_dim=hd,
+        quantized=quantized,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
         interpret=interpret,
-    )(tables, context_lens.astype(jnp.int32), q, kp, vp)
+    )(tables, context_lens.astype(jnp.int32), *operands)

@@ -1,0 +1,168 @@
+"""Weight-only quantization: INT8 / INT4 group-scaled storage with a fused
+dequantize-matmul Pallas kernel.
+
+No reference implementation exists to mirror (the north star adds this): the
+design is TPU-first. Weights are stored as int8 — or two int4 nibbles per
+byte — with symmetric per-(input-group, output-column) scales. The Pallas
+kernel streams quantized tiles from HBM, dequantizes in VMEM, and feeds the
+MXU in bf16: decode-time weight traffic drops 2x/4x, the roofline term for
+small-batch serving.
+
+INT4 packing is *group-local split-half*: within each group of G input rows,
+byte r holds row r (low nibble) and row r + G/2 (high nibble). Each k-tile
+(= one group) is therefore self-contained in the packed array, and in-kernel
+unpacking is two vector ops plus a sublane concat.
+
+A quantized weight is the plain pytree {"q": int8, "s": f32}; the bit width
+is static model metadata (config.quantization), threaded as a Python int —
+never a pytree leaf.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_GROUP = 128  # quantization group along the input (reduction) dim
+
+
+def pick_group(k: int, bits: int) -> int:
+    g = min(DEFAULT_GROUP, k)
+    if bits == 4:
+        while k % g or g % 2:
+            g //= 2
+        if g < 2:
+            raise ValueError(f"cannot int4-group K={k}")
+    else:
+        while k % g:
+            g //= 2
+    return g
+
+
+def quantize_weight(w, bits: int = 8, group: int | None = None):
+    """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}."""
+    w = np.asarray(jnp.asarray(w, jnp.float32))
+    *lead, k, m = w.shape
+    g = group or pick_group(k, bits)
+    assert k % g == 0
+    grouped = w.reshape(*lead, k // g, g, m)
+    qmax = 127.0 if bits == 8 else 7.0
+    scales = np.abs(grouped).max(axis=-2) / qmax  # [..., K/G, M]
+    scales = np.maximum(scales, 1e-8)
+    q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
+    if bits == 8:
+        packed = q.reshape(*lead, k, m).astype(np.int8)
+    else:
+        half = g // 2
+        lo = (q[..., :half, :].astype(np.int8) + 8).astype(np.uint8)
+        hi = (q[..., half:, :].astype(np.int8) + 8).astype(np.uint8)
+        packed = (lo | (hi << 4)).reshape(*lead, k // 2, m).astype(np.int8)
+    return {"q": jnp.asarray(packed), "s": jnp.asarray(scales, dtype=jnp.float32)}
+
+
+def _unpack_int4_tile(byte_f32):
+    """packed tile [TK/2, TM] of uint8-valued floats -> [TK, TM] centered
+    int4 values. TK/2 rows hold one group's low/high nibbles (group-local
+    split-half), so a plain sublane concat restores row order."""
+    lo = jnp.mod(byte_f32, 16.0) - 8.0
+    hi = jnp.floor(byte_f32 / 16.0) - 8.0
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, out_dtype):
+    k = pl.program_id(1)
+    num_k = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if bits == 8:
+        w = wq_ref[...].astype(jnp.float32)
+    else:
+        raw = wq_ref[...].astype(jnp.int32)
+        byte = jnp.where(raw < 0, raw + 256, raw).astype(jnp.float32)  # int8 -> uint8
+        w = _unpack_int4_tile(byte)
+    # s_ref holds all groups' scale rows for this m-tile; pick group k
+    w = (w * s_ref[pl.ds(k, 1), :]).astype(jnp.bfloat16)  # [TK, TM]
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "interpret", "tile_m"))
+def quant_matmul_pallas(
+    x: jnp.ndarray,  # [N, K]
+    wq: jnp.ndarray,  # [K, M] int8 or [K/2, M] group-local-packed int4
+    scales: jnp.ndarray,  # [K/G, M] f32
+    *,
+    bits: int,
+    interpret: bool = False,
+    tile_m: int = 512,
+) -> jnp.ndarray:
+    n, k = x.shape
+    m = wq.shape[-1]
+    groups = scales.shape[0]
+    tk = k // groups  # one k-tile per scale group
+    # cap the output tile so the f32 accumulator fits VMEM at large N
+    # (prefill feeds thousands of rows; decode feeds the batch)
+    acc_budget = 4 * 1024 * 1024
+    tm = min(tile_m, m, max(128, acc_budget // (4 * n) // 128 * 128))
+    while m % tm:
+        tm //= 2
+    assert m % tm == 0 and k % tk == 0
+    num_m, num_k = m // tm, groups
+    pack = 1 if bits == 8 else 2
+
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel, bits=bits, out_dtype=x.dtype),
+        grid=(num_m, num_k),
+        in_specs=[
+            pl.BlockSpec((n, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // pack, tm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n, tm), jnp.float32)],
+        interpret=interpret,
+    )(x, wq, scales)
+
+
+def dequantize(wq: jnp.ndarray, scales: jnp.ndarray, bits: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """XLA fallback / testing: materialize the dequantized weight [K, M]."""
+    groups, m = scales.shape[-2], scales.shape[-1]
+    if bits == 8:
+        k = wq.shape[-2]
+        q = wq.astype(jnp.float32).reshape(*wq.shape[:-2], groups, k // groups, m)
+    else:
+        raw = wq.astype(jnp.int32)
+        byte = jnp.where(raw < 0, raw + 256, raw)
+        half = wq.shape[-2] // groups  # packed rows per group = G/2
+        grouped = byte.reshape(*wq.shape[:-2], groups, half, m)
+        lo = (grouped % 16).astype(jnp.float32) - 8.0
+        hi = (grouped // 16).astype(jnp.float32) - 8.0
+        q = jnp.concatenate([lo, hi], axis=-2)
+        k = q.shape[-3] * q.shape[-2]
+    scaled = q * scales[..., :, None, :]
+    return scaled.reshape(*wq.shape[:-2], k, m).astype(dtype)
+
+
+def quant_matmul(x: jnp.ndarray, w: dict, bits: int, backend: str = "auto") -> jnp.ndarray:
+    """Dispatch: Pallas fused dequant-matmul on TPU, XLA dequant fallback
+    elsewhere. x [..., K]; returns [..., M]."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if backend != "dense" and (backend == "pallas" or on_tpu):
+        out = quant_matmul_pallas(x2, w["q"], w["s"], bits=bits, interpret=not on_tpu)
+    else:
+        out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
+    return out.reshape(*lead, -1)

@@ -34,10 +34,19 @@ def qwen3_param_specs(params: dict) -> dict:
         "w_gate_up": P(None, None, M),
         "w_down": P(None, M, None),
     }
+    def expand(key):
+        base = layer_specs[key]
+        value = params["layers"][key]
+        if isinstance(value, dict):
+            # quantized {"q", "s"}: scale dims mirror the weight dims
+            # ([L, K/G, M] vs [L, K, M]), so the same spec applies to both
+            return {leaf: base for leaf in value}
+        return base
+
     specs = {
         "embed": P(M, None),
         "final_norm": P(None),
-        "layers": {k: layer_specs[k] for k in params["layers"]},
+        "layers": {k: expand(k) for k in params["layers"]},
     }
     if "lm_head" in params:
         specs["lm_head"] = P(M, None)

@@ -92,6 +92,11 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
     }
     if not spec.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight"), dtype=dtype)
+    if spec.quant_bits is not None:
+        from byox_vllm_tpu.models.qwen3 import quantize_layer_params
+
+        params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
+        logger.info("quantized layer weights to int%d", spec.quant_bits)
     logger.info("loaded %d tensors from %s", len(raw), path)
     return params
 

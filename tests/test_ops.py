@@ -84,3 +84,38 @@ def test_sampler_reproducible_with_key():
     a = sample_tokens(logits, temps, jax.random.PRNGKey(7))
     b = sample_tokens(logits, temps, jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_top_k_top_p_path(tmp_path):
+    """Per-sequence top-k/top-p flows through the engine: top_k=1 must equal
+    greedy regardless of temperature."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    Qwen3ForCausalLM(cfg).eval().save_pretrained(tmp_path, safe_serialization=True)
+    llm = LLM(
+        str(tmp_path), dtype="float32", max_model_len=128,
+        max_num_batched_tokens=128, num_kvcache_blocks=32, kvcache_block_size=16,
+    )
+    prompts = [[1, 2, 3, 4, 5]]
+    greedy = llm.generate(prompts, SamplingParams(temperature=0.0, max_tokens=10), use_tqdm=False)
+    topk1 = llm.generate(
+        prompts, SamplingParams(temperature=1.5, top_k=1, max_tokens=10), use_tqdm=False
+    )
+    assert topk1[0]["token_ids"] == greedy[0]["token_ids"]
+    # engine metrics populated
+    m = llm.metrics.summary()
+    assert m["num_finished_requests"] == 2
+    assert m["ttft_p50_s"] is not None
