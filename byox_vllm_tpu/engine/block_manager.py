@@ -19,6 +19,10 @@ indexed by these block ids (see engine/model_runner.py).
 from collections import deque
 from hashlib import blake2b
 
+from byox_vllm_tpu.engine.sequence import Sequence
+from byox_vllm_tpu.utils.logging import logger
+from byox_vllm_tpu.utils.native import load_native
+
 try:
     import xxhash
 
@@ -31,8 +35,7 @@ except ImportError:  # pragma: no cover - xxhash is present in the image
         return int.from_bytes(blake2b(data, digest_size=8).digest(), "little")
 
 
-from byox_vllm_tpu.engine.sequence import Sequence
-from byox_vllm_tpu.utils.logging import logger
+_native = load_native()
 
 
 class Block:
@@ -59,7 +62,10 @@ class Block:
 
 def compute_block_hash(token_ids: list[int], prefix: int = -1) -> int:
     """Chained block hash: covers the parent block's hash plus this block's
-    token ids, so equal hashes imply equal full prefixes."""
+    token ids, so equal hashes imply equal full prefixes. Native C++ xxh64
+    when available (csrc/native.cc, bit-identical byte stream)."""
+    if _native is not None:
+        return _native.hash_block(token_ids, 0 if prefix == -1 else prefix, prefix != -1)
     parts = bytearray()
     if prefix != -1:
         parts += prefix.to_bytes(8, "little", signed=False)

@@ -17,6 +17,10 @@ from dataclasses import dataclass, field
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
+from byox_vllm_tpu.utils.native import load_native
+
+_native = load_native()
+
 
 class NgramProposer:
     def __init__(self, num_speculative_tokens: int, prompt_lookup_min: int, prompt_lookup_max: int):
@@ -26,8 +30,10 @@ class NgramProposer:
 
     def propose(self, token_ids: list[int]) -> list[int]:
         """Up to k draft tokens continuing ``token_ids``; [] if no n-gram of
-        length in [min_n, max_n] recurs (vectorized window match, most
-        recent occurrence wins)."""
+        length in [min_n, max_n] recurs (most recent occurrence wins; native
+        C++ scan when available, numpy window match otherwise)."""
+        if _native is not None:
+            return _native.ngram_propose(token_ids, self.min_n, self.max_n, self.k)
         size = len(token_ids)
         arr = np.asarray(token_ids)
         for n in range(min(self.max_n, size - 1), self.min_n - 1, -1):
