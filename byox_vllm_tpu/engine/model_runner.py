@@ -227,6 +227,9 @@ class ModelRunner:
         if padded.top_k is not None:
             filters = (jnp.asarray(padded.top_k), jnp.asarray(padded.top_p))
         if is_prefill:
+            runs = None
+            if self.config.kv_cache_dtype == "auto":
+                runs = _prefill_write_runs(seqs, padded.token_ids.shape[1], self.block_size)
             tokens, self.kv_cache = self._step(
                 self.params,
                 self.kv_cache,
@@ -238,6 +241,7 @@ class ModelRunner:
                 jnp.asarray(padded.temperatures),
                 step_key,
                 filters,
+                runs,
             )
             return np.asarray(tokens)[:n].tolist()
         tokens, self.kv_cache = self._decode(
@@ -306,6 +310,7 @@ def _model_step(
     temperatures,
     key,
     filters=None,
+    write_runs=None,
     *,
     forward_fn,
     spec,
@@ -320,10 +325,35 @@ def _model_step(
         params, kv_cache, token_ids, q_lens, context_lens, slot_mapping, block_tables,
         spec, block_size,
         attention_fn=_partial(paged_attention, backend=attention_backend),
+        write_runs=write_runs,
     )
     top_k, top_p = filters if filters is not None else (None, None)
     tokens = sample_tokens(logits, temperatures, key, top_k=top_k, top_p=top_p)
     return tokens, kv_cache
+
+
+def _prefill_write_runs(seqs, padded_tq, block_size):
+    """(run_dst, run_src) int32 arrays for block-aligned prefill KV stores
+    (ops/kv_cache.py::write_kv_runs), or None when any sequence's cached
+    prefix is not block-aligned (rare: the fully-cached-prompt recompute) —
+    the caller then falls back to the scatter store. Run count is padded to
+    a power-of-two bucket by duplicating run 0."""
+    dst, src = [], []
+    for i, seq in enumerate(seqs):
+        nc = seq.num_cached_tokens
+        if nc % block_size:
+            return None
+        for j in range(nc // block_size, seq.num_blocks):
+            dst.append(seq.block_table[j] * block_size)
+            src.append(i * padded_tq + (j * block_size - nc))
+    if not dst:
+        return None
+    r = 1
+    while r < len(dst):
+        r *= 2
+    dst += [dst[0]] * (r - len(dst))
+    src += [src[0]] * (r - len(src))
+    return jnp.asarray(np.array(dst, np.int32)), jnp.asarray(np.array(src, np.int32))
 
 
 def _multi_decode_step(

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from byox_vllm_tpu.ops.attention import paged_attention
-from byox_vllm_tpu.ops.kv_cache import write_kv, write_kv_quant
+from byox_vllm_tpu.ops.kv_cache import write_kv, write_kv_quant, write_kv_runs
 from byox_vllm_tpu.ops.norms import rms_norm
 from byox_vllm_tpu.ops.quant import quant_matmul, quantize_weight
 from byox_vllm_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
@@ -160,6 +160,7 @@ def forward(
     block_size: int,
     attention_fn: Any = None,
     all_logits: bool = False,
+    write_runs: Any = None,  # (run_dst [R], run_src [R]) for block-aligned prefill stores
 ) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
@@ -211,6 +212,13 @@ def forward(
             k_pool, v_pool, ks, vs = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
             new_kv.append((k_pool, v_pool, ks, vs))
             kv_scales = (ks, vs)
+        elif write_runs is not None:
+            k_pool, v_pool = write_kv_runs(
+                kv_cache[i][0], kv_cache[i][1], k_flat, v_flat,
+                write_runs[0], write_runs[1], block_size,
+            )
+            new_kv.append((k_pool, v_pool))
+            kv_scales = None
         else:
             k_pool, v_pool = write_kv(kv_cache[i][0], kv_cache[i][1], k_flat, v_flat, flat_slots)
             new_kv.append((k_pool, v_pool))

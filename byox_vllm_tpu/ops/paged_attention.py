@@ -5,14 +5,22 @@ paged decode path (nanovllm/layers/attention.py:88-96), designed for TPU:
 
 - the KV pool is token-major ``[num_slots, nkv*hd]`` (see ops/kv_cache.py);
   a page view [block_size, nkv*hd] = e.g. (64, 1024) is a perfectly aligned
-  VMEM tile, and per-head keys are static lane slices of it
+  VMEM tile
 - grid (B, W): the scalar-prefetched block table drives the BlockSpec
   index_map, so the Pallas pipeline DMAs exactly the pages each sequence
   needs from HBM into VMEM (double-buffered by the runtime) — no gathered
-  K/V copy is ever materialized in HBM, unlike the XLA-gather fallback
+  K/V copy is ever materialized in HBM, unlike the XLA-gather fallback;
+  out-of-context pages clamp to the last valid page, which the pipeline
+  recognizes as a repeat and skips the DMA
+- GQA via one-hot head expansion: queries are scattered into their kv-head's
+  lane block (q' [nh, nkv*hd]) so scores for ALL heads are ONE MXU matmul
+  against the raw page — profiling showed the per-kv-head small-matmul loop
+  cost ~0.5 ms per launch in pure instruction overhead, ~2x the page DMA
+  bytes; the widened contraction's wasted MXU flops are free by comparison
+  (the kernel is bandwidth-bound)
 - online softmax (flash-style m/l/acc running state in VMEM scratch,
   carried across the W page steps of each sequence)
-- GQA: per-kv-head queries [group, head_dim] against the page [bs, head_dim]
+- INT8 pools dequantize in-kernel from per-(token, head) scale pages
 - padding conventions preserved: block id -1 => clamped DMA + fully masked;
   context_len 0 rows produce zeros (the reference no-ops padded rows the
   same way via cache_seqlens=0).
@@ -51,6 +59,8 @@ def _decode_kernel(
     b = pl.program_id(0)
     w = pl.program_id(1)
     num_pages = pl.num_programs(1)
+    nh = num_kv_heads * group
+    f = num_kv_heads * head_dim
 
     @pl.when(w == 0)
     def _init():
@@ -63,32 +73,47 @@ def _decode_kernel(
 
     @pl.when(valid > 0)
     def _page():
-        col = jax.lax.broadcasted_iota(jnp.int32, (group, block_size), 1)
-        for h in range(num_kv_heads):
-            rows = slice(h * group, (h + 1) * group)
-            lanes = slice(h * head_dim, (h + 1) * head_dim)
-            q = q_ref[0, rows, :].astype(jnp.float32)  # [g, hd]
-            k = k_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
-            v = v_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
-            if quantized:
-                k = k * ks_ref[0, :, h][:, None]
-                v = v * vs_ref[0, :, h][:, None]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale  # [g, bs]
-            s = jnp.where(col < valid, s, _NEG_INF)
+        # one-hot of each query head's kv head: [nh, nkv]
+        head_of = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 0) // group
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 1)
+        onehot = (head_of == kv_idx).astype(jnp.float32)
 
-            m_prev = m_ref[rows, 0:1]  # [g, 1]
-            l_prev = l_ref[rows, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)  # [g, bs]
-            alpha = jnp.exp(m_prev - m_new)  # [g, 1]
-            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_ref[rows, 0:1] = m_new
-            pv = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [g, hd]
-            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        k = k_ref[0].astype(jnp.float32)  # [bs, F]
+        v = v_ref[0].astype(jnp.float32)
+        if quantized:
+            ks = ks_ref[0]  # [bs, nkv] f32
+            vs = vs_ref[0]
+            k = (k.reshape(block_size, num_kv_heads, head_dim) * ks[..., None]).reshape(
+                block_size, f
+            )
+            v = (v.reshape(block_size, num_kv_heads, head_dim) * vs[..., None]).reshape(
+                block_size, f
+            )
+
+        q = q_ref[0].astype(jnp.float32)  # [nh, hd]
+        # scatter each query into its kv head's lane block: [nh, F]
+        qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f)
+        s = jax.lax.dot_general(
+            qe, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [nh, bs]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (nh, block_size), 1)
+        s = jnp.where(col < valid, s, _NEG_INF)
+
+        m_prev = m_ref[:, 0:1]  # [nh, 1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [nh, bs]
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [nh, F]
+        # select each head's own lane block back out: [nh, hd]
+        pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
+        acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(w == num_pages - 1)
     def _finish():
@@ -109,7 +134,7 @@ def paged_decode_attention(
     block_size: int,
     scale: float,
     interpret: bool = False,
-    kv_scales=None,
+    kv_scales=None,  # (k_scale [S, nkv], v_scale [S, nkv]) when the pool is int8
 ) -> jnp.ndarray:
     b, nh, hd = q.shape
     s, f = k_pool.shape
