@@ -40,7 +40,8 @@ def paged_attention(
     shape, so the branch resolves at trace time."""
     tq = q.shape[1]
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if tq == 1 and backend != "dense" and (backend == "pallas" or on_tpu):
+    use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
+    if tq == 1 and use_pallas:
         from byox_vllm_tpu.ops.paged_attention import paged_decode_attention
 
         out = paged_decode_attention(
@@ -49,6 +50,14 @@ def paged_attention(
             kv_scales=kv_scales,
         )
         return out[:, None]
+    if tq > 1 and use_pallas and kv_scales is None and tq % min(128, tq) == 0:
+        from byox_vllm_tpu.ops.prefill_attention import paged_prefill_attention
+
+        q_lens = context_lens - positions[:, 0]
+        return paged_prefill_attention(
+            q, k_pool, v_pool, block_tables, context_lens, q_lens,
+            block_size=block_size, scale=scale, interpret=not on_tpu,
+        )
     return paged_attention_dense(
         q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
         kv_scales=kv_scales,

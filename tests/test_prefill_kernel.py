@@ -1,0 +1,58 @@
+"""Pallas prefill attention kernel vs the dense XLA fallback (interpret mode),
+covering ragged batches, prefix-cache contexts, and padding rows."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byox_vllm_tpu.ops.attention import paged_attention_dense
+from byox_vllm_tpu.ops.kv_cache import write_kv
+from byox_vllm_tpu.ops.prefill_attention import paged_prefill_attention
+
+
+def build(rng, ctx_lens, q_lens, nh=8, nkv=4, hd=128, bs=16, w=8, tq=32):
+    b = len(ctx_lens)
+    S = 32 * bs
+    kp = jnp.zeros((S, nkv * hd), jnp.float32)
+    vp = jnp.zeros((S, nkv * hd), jnp.float32)
+    tables = np.full((b, w), -1, np.int32)
+    nxt = 0
+    for i, c in enumerate(ctx_lens):
+        for j in range(-(-c // bs) if c else 0):
+            tables[i, j] = nxt
+            hi = min(c, (j + 1) * bs) - j * bs
+            slots = list(range(nxt * bs, nxt * bs + hi))
+            rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+            rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+            kp, vp = write_kv(kp, vp, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+            nxt += 1
+    q = jnp.asarray(rng.normal(size=(b, tq, nh, hd)), jnp.float32)
+    ctx = jnp.asarray(ctx_lens, jnp.int32)
+    ql = jnp.asarray(q_lens, jnp.int32)
+    positions = (ctx - ql)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
+    return q, kp, vp, jnp.asarray(tables), ctx, ql, positions
+
+
+@pytest.mark.parametrize(
+    "ctx_lens,q_lens",
+    [
+        ([20], [20]),            # single seq, plain prefill
+        ([30, 17], [30, 17]),    # ragged batch
+        ([40, 25], [8, 25]),     # seq 0 has a 32-token cached prefix
+        ([19, 0], [19, 0]),      # padding row
+    ],
+)
+def test_prefill_kernel_matches_dense(ctx_lens, q_lens):
+    rng = np.random.default_rng(0)
+    bs = 16
+    q, kp, vp, tables, ctx, ql, positions = build(rng, ctx_lens, q_lens, bs=bs)
+    scale = 128**-0.5
+    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale)
+    out = paged_prefill_attention(
+        q, kp, vp, tables, ctx, ql, block_size=bs, scale=scale, interpret=True
+    )
+    # compare only real query rows (padding rows are discarded downstream)
+    for i, qn in enumerate(q_lens):
+        np.testing.assert_allclose(
+            np.asarray(out[i, :qn]), np.asarray(ref[i, :qn]), rtol=1e-5, atol=1e-5
+        )
