@@ -35,6 +35,22 @@ QWEN3_0_6B = {
     "max_position_embeddings": 40960,
 }
 
+QWEN3_8B = {
+    "model_type": "qwen3",
+    "vocab_size": 151936,
+    "hidden_size": 4096,
+    "intermediate_size": 12288,
+    "num_hidden_layers": 36,
+    "num_attention_heads": 32,
+    "num_key_value_heads": 8,
+    "head_dim": 128,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 1000000.0,
+    "tie_word_embeddings": False,
+    "attention_bias": False,
+    "max_position_embeddings": 40960,
+}
+
 
 def main():
     from byox_vllm_tpu.llm import LLM
@@ -43,8 +59,10 @@ def main():
     random.seed(0)
     quant = os.environ.get("BYOX_BENCH_QUANT")  # None | int8 | int4
     kv_dtype = os.environ.get("BYOX_BENCH_KV", "auto")  # auto | int8
+    model = os.environ.get("BYOX_BENCH_MODEL", "0.6b")  # 0.6b | 8b
+    hf_cfg = QWEN3_8B if model == "8b" else QWEN3_0_6B
     llm = LLM(
-        hf_config=dict(QWEN3_0_6B),
+        hf_config=dict(hf_cfg),
         max_model_len=256,
         max_num_batched_tokens=2048,
         max_num_seqs=256,
@@ -89,7 +107,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"offline_throughput_qwen3_0.6b_{tag}",
+                "metric": f"offline_throughput_qwen3_{model}_{tag}",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": 1.0,

@@ -40,6 +40,7 @@ class Config:
     quantization: str | None = None  # None | "int8" | "int4"
     attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
     num_decode_steps: int = 8  # decode iterations per device call (1 = step-per-call)
+    enable_chunked_prefill: bool = True  # split prompts longer than the token budget
     speculative_config: Any = None
     seed: int = 0
 
@@ -56,7 +57,10 @@ class Config:
         assert self.data_parallel_size >= 1
         max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
         self.max_model_len = min(self.max_model_len, max_pos)
-        assert self.max_num_batched_tokens >= self.max_model_len
+        if not self.enable_chunked_prefill:
+            # without chunking a prompt must fit one prefill step (the
+            # reference's invariant, nanovllm/config.py:27)
+            assert self.max_num_batched_tokens >= self.max_model_len
 
         if isinstance(self.speculative_config, dict):
             self.speculative_config = SpeculativeConfig(**self.speculative_config)

@@ -66,18 +66,25 @@ def _block_tables(seqs: list[Sequence]) -> np.ndarray:
 
 
 def prepare_prefill(seqs: list[Sequence], block_size: int) -> StepBatch:
+    """Prefill batch over each sequence's scheduled chunk: positions
+    [num_computed, num_computed + chunk). An unchunked prompt's chunk is its
+    whole uncached remainder; with chunked prefill a long prompt spans
+    several steps and only the final chunk's logits are sampled."""
     n = len(seqs)
-    q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], dtype=np.int32)
-    context_lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    q_lens = np.array(
+        [s.scheduled_chunk or s.num_pending_prefill_tokens for s in seqs], dtype=np.int32
+    )
+    starts = np.array([s.num_computed_tokens for s in seqs], dtype=np.int32)
+    context_lens = starts + q_lens
     tq = int(q_lens.max())
     token_ids = np.zeros((n, tq), dtype=np.int32)
     slot_mapping = np.full((n, tq), -1, dtype=np.int32)
     for i, seq in enumerate(seqs):
-        start = seq.num_cached_tokens
-        chunk = seq.token_ids[start:]
+        start, q_len = int(starts[i]), int(q_lens[i])
+        chunk = seq.token_ids[start : start + q_len]
         token_ids[i, : len(chunk)] = chunk
         if seq.block_table:
-            positions = np.arange(start, len(seq))
+            positions = np.arange(start, start + q_len)
             block_ids = np.asarray(seq.block_table, dtype=np.int64)[positions // block_size]
             slot_mapping[i, : len(chunk)] = block_ids * block_size + positions % block_size
     return StepBatch(

@@ -138,6 +138,7 @@ class BlockManager:
             # the next token needs its logits. (The reference would submit an
             # empty query chunk here, model_runner.py:169-178 — a latent bug.)
             seq.num_cached_tokens = len(seq) - 1
+        seq.num_computed_tokens = seq.num_cached_tokens
         logger.debug("allocated %s blocks for %s (%d cached)", seq.num_blocks, seq, seq.num_cached_tokens)
 
     def deallocate(self, seq: Sequence) -> None:
@@ -147,6 +148,7 @@ class BlockManager:
             if block.ref_count == 0:
                 self._release_block(block)
         seq.num_cached_tokens = 0
+        seq.num_computed_tokens = 0
         seq.block_table.clear()
 
     def may_append(self, seq: Sequence, num_tokens: int = 1) -> None:

@@ -87,6 +87,7 @@ class LLMEngine:
         seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             return [], 0
+        prefill_tokens = sum(s.scheduled_chunk for s in seqs) if is_prefill else 0
         if not is_prefill and self.proposer is not None:
             max_draft = self.scheduler.last_lookahead - 1
             drafts = [self.proposer.propose(s.token_ids)[:max_draft] for s in seqs]
@@ -97,7 +98,7 @@ class LLMEngine:
                 self.spec_metrics.record(len(d), min(int(a), len(d)))
         else:
             token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
-        appended = self.scheduler.postprocess(seqs, token_ids)
+        appended = self.scheduler.postprocess(seqs, token_ids, is_prefill)
         now = time.perf_counter()
         for seq in seqs:
             if seq.first_token_time is None and seq.num_completion_tokens > 0:
@@ -106,13 +107,13 @@ class LLMEngine:
                 seq.finish_time = now
                 self.metrics.record_request(seq)
         if is_prefill:
-            self.metrics.prefill_tokens += sum(len(s) - s.num_cached_tokens for s in seqs)
+            self.metrics.prefill_tokens += prefill_tokens
         else:
             self.metrics.decode_tokens += appended
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
         ]
-        num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else -appended
+        num_tokens = prefill_tokens if is_prefill else -appended
         return outputs, num_tokens
 
     def is_finished(self) -> bool:

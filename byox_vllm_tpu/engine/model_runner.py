@@ -340,12 +340,14 @@ def _prefill_write_runs(seqs, padded_tq, block_size):
     a power-of-two bucket by duplicating run 0."""
     dst, src = [], []
     for i, seq in enumerate(seqs):
-        nc = seq.num_cached_tokens
-        if nc % block_size:
+        start = seq.num_computed_tokens
+        chunk = seq.scheduled_chunk or seq.num_pending_prefill_tokens
+        if start % block_size:
             return None
-        for j in range(nc // block_size, seq.num_blocks):
+        end_block = -(-(start + chunk) // block_size)
+        for j in range(start // block_size, end_block):
             dst.append(seq.block_table[j] * block_size)
-            src.append(i * padded_tq + (j * block_size - nc))
+            src.append(i * padded_tq + (j * block_size - start))
     if not dst:
         return None
     r = 1

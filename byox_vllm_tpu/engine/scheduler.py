@@ -39,6 +39,8 @@ class Scheduler:
         self.max_model_len = config.max_model_len
         self.eos = config.eos
         self.decode_lookahead = decode_lookahead
+        self.enable_chunked_prefill = config.enable_chunked_prefill
+        self.block_size = config.kvcache_block_size
         assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set before building the scheduler"
         self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
         self.waiting: deque[Sequence] = deque()
@@ -74,19 +76,37 @@ class Scheduler:
         # prefill pass
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
-            if num_batched_tokens + len(seq) > self.max_num_batched_tokens:
-                # rotate so the oversized head can't starve the queue
-                self.waiting.rotate(-1)
-                break
-            if not self.block_manager.can_allocate(seq):
-                break
+            budget = self.max_num_batched_tokens - num_batched_tokens
+            if not seq.block_table:  # fresh admission (not a mid-prompt chunk)
+                if not self.enable_chunked_prefill and len(seq) > budget:
+                    # rotate so the oversized head can't starve the queue
+                    self.waiting.rotate(-1)
+                    break
+                if not self.block_manager.can_allocate(seq):
+                    break
+                if budget <= 0:
+                    break
+                self.block_manager.allocate(seq)
+            remaining = seq.num_pending_prefill_tokens
+            chunk = min(remaining, budget)
+            if chunk < remaining:
+                # mid-prompt chunk: keep it block-aligned so the KV store
+                # stays on the fast run-DUS path and the next chunk starts
+                # at a block boundary
+                chunk = chunk // self.block_size * self.block_size
+                if chunk == 0:
+                    break
             num_seqs += 1
-            self.block_manager.allocate(seq)
-            num_batched_tokens += len(seq) - seq.num_cached_tokens
-            seq.status = SequenceStatus.RUNNING
-            self.waiting.popleft()
-            self.running.append(seq)
+            num_batched_tokens += chunk
+            seq.scheduled_chunk = chunk
             scheduled.append(seq)
+            if chunk == remaining:
+                # prompt complete after this step: ready to decode
+                seq.status = SequenceStatus.RUNNING
+                self.waiting.popleft()
+                self.running.append(seq)
+            else:
+                break  # chunked head consumed the budget; stays at the front
         if scheduled:
             logger.debug("scheduled %d seqs for prefill (%d tokens)", len(scheduled), num_batched_tokens)
             self.last_lookahead = 1
@@ -112,13 +132,20 @@ class Scheduler:
         self.last_lookahead = lookahead
         return scheduled, False
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list) -> int:
+    def postprocess(self, seqs: list[Sequence], token_ids: list, is_prefill: bool = False) -> int:
         """Append sampled tokens. Each entry may be one token id (reference
         semantics) or a lookahead list; lists are truncated at the first
-        finish condition and surplus tokens are discarded. Returns the number
-        of tokens actually appended."""
+        finish condition and surplus tokens are discarded. Prefill first
+        advances each sequence's computed-token progress; a mid-prompt chunk
+        discards its (meaningless) sampled token. Returns the number of
+        tokens actually appended."""
         appended = 0
         for seq, tokens in zip(seqs, token_ids):
+            if is_prefill:
+                seq.num_computed_tokens += seq.scheduled_chunk
+                seq.scheduled_chunk = 0
+                if seq.num_computed_tokens < seq.num_prompt_tokens:
+                    continue  # mid-prompt chunk: nothing sampled yet
             if not isinstance(tokens, (list, tuple)):
                 tokens = [tokens]
             for token_id in tokens:

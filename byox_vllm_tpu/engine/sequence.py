@@ -31,6 +31,12 @@ class Sequence:
         self.num_tokens = len(self.token_ids)
         self.num_prompt_tokens = len(token_ids)
         self.num_cached_tokens = 0
+        # prefill progress: tokens whose KV is computed & in the pool. Equals
+        # num_cached_tokens after allocation; advances per chunk when chunked
+        # prefill splits a long prompt across steps.
+        self.num_computed_tokens = 0
+        # tokens of this seq scheduled for the CURRENT prefill step
+        self.scheduled_chunk = 0
         self.block_table: list[int] = []
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
@@ -71,6 +77,10 @@ class Sequence:
     @property
     def completion_token_ids(self) -> list[int]:
         return self.token_ids[self.num_prompt_tokens :]
+
+    @property
+    def num_pending_prefill_tokens(self) -> int:
+        return self.num_prompt_tokens - self.num_computed_tokens
 
     @property
     def num_cached_blocks(self) -> int:

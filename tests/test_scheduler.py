@@ -11,13 +11,14 @@ from byox_vllm_tpu.sampling_params import SamplingParams
 TINY_HF = {"max_position_embeddings": 4096}
 
 
-def make_scheduler(num_blocks=16, block_size=4, max_num_seqs=8, max_tokens_budget=64):
+def make_scheduler(num_blocks=16, block_size=4, max_num_seqs=8, max_tokens_budget=64, chunked=False):
     cfg = Config(
         hf_config=dict(TINY_HF),
         max_num_seqs=max_num_seqs,
         max_num_batched_tokens=max_tokens_budget,
         max_model_len=min(64, max_tokens_budget),
         num_kvcache_blocks=num_blocks,
+        enable_chunked_prefill=chunked,
     )
     # tiny block size for testability (Config's default floor is 16)
     cfg.kvcache_block_size = block_size
@@ -29,7 +30,8 @@ def seq_of(n, block_size=4, start=0, **sp):
 
 
 def test_prefill_fcfs_and_budget_rotation():
-    sched = make_scheduler(max_tokens_budget=64, num_blocks=64)
+    # rotation fairness is the non-chunked (reference-parity) policy
+    sched = make_scheduler(max_tokens_budget=64, num_blocks=64, chunked=False)
     big = seq_of(60)
     small1 = seq_of(8, start=100)
     small2 = seq_of(8, start=200)
@@ -45,7 +47,7 @@ def test_prefill_fcfs_and_budget_rotation():
 
 
 def test_oversized_head_rotates_not_starves():
-    sched = make_scheduler(max_tokens_budget=16, num_blocks=64, block_size=4)
+    sched = make_scheduler(max_tokens_budget=16, num_blocks=64, block_size=4, chunked=False)
     big = seq_of(60)  # can never fit the 16-token budget... rotated away
     small = seq_of(8, start=100)
     sched.add(big)
@@ -128,3 +130,49 @@ def test_self_preemption_when_alone():
     # 3 blocks > 2 total. Verify it stays waiting rather than crashing.
     seqs, is_prefill = sched.schedule()
     assert seqs == []
+
+
+def _finish_prefill(sched, seqs):
+    """Simulate the engine's prefill postprocess with dummy sampled tokens."""
+    sched.postprocess(seqs, [0] * len(seqs), is_prefill=True)
+
+
+def test_chunked_prefill_splits_long_prompt():
+    sched = make_scheduler(max_tokens_budget=16, num_blocks=64, block_size=4, chunked=True)
+    big = seq_of(30)  # 30 tokens > 16 budget
+    small = seq_of(8, start=100)
+    sched.add(big)
+    sched.add(small)
+
+    # step 1: 16-token chunk of big (block-aligned), nothing else fits
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [big]
+    assert big.scheduled_chunk == 16
+    _finish_prefill(sched, seqs)
+    assert big.num_computed_tokens == 16
+    assert big.num_completion_tokens == 0  # mid-prompt chunk sampled nothing
+
+    # step 2: final 14 tokens of big + nothing (budget 16 - 14 = 2 < small)
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [big]
+    assert big.scheduled_chunk == 14
+    _finish_prefill(sched, seqs)
+    assert big.num_completion_tokens == 1  # final chunk sampled a token
+
+    # step 3: small prefills; big is now decoding
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [small]
+
+
+def test_chunked_prefill_batches_followers():
+    sched = make_scheduler(max_tokens_budget=16, num_blocks=64, block_size=4, chunked=True)
+    a = seq_of(6)
+    b = seq_of(25, start=100)
+    sched.add(a)
+    sched.add(b)
+    # a fits fully (6), b gets an 8-token aligned chunk from the remaining 10
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [a, b]
+    assert a.scheduled_chunk == 6 and b.scheduled_chunk == 8
+    _finish_prefill(sched, seqs)
+    assert a.num_completion_tokens == 1 and b.num_completion_tokens == 0
