@@ -14,7 +14,7 @@ by sequence id. Differences:
 
 import time
 
-from byox_vllm_tpu.config import Config, config_from_kwargs
+from byox_vllm_tpu.config import config_from_kwargs
 from byox_vllm_tpu.engine.metrics import EngineMetrics
 from byox_vllm_tpu.engine.model_runner import ModelRunner
 from byox_vllm_tpu.engine.scheduler import Scheduler

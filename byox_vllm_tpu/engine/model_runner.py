@@ -35,7 +35,7 @@ from byox_vllm_tpu.engine.sequence import Sequence
 from byox_vllm_tpu.models import get_model
 from byox_vllm_tpu.ops.sampler import sample_tokens
 from byox_vllm_tpu.parallel.mesh import make_mesh
-from byox_vllm_tpu.parallel.shardings import batch_specs, kv_cache_spec, shard_params
+from byox_vllm_tpu.parallel.shardings import kv_cache_spec, shard_params
 from byox_vllm_tpu.utils.loader import param_bytes
 from byox_vllm_tpu.utils.logging import logger
 

@@ -6,8 +6,6 @@ bias, no q/k norm) because the three differ only in those two flags — the
 registry maps HF ``model_type`` to the right spec construction.
 """
 
-from functools import partial
-
 from byox_vllm_tpu.models import qwen3 as _qwen3
 from byox_vllm_tpu.models.qwen3 import Qwen3Spec
 

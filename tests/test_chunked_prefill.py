@@ -1,7 +1,6 @@
 """Chunked prefill end to end: a prompt longer than the per-step token budget
 is processed across steps and produces exactly the unchunked greedy output."""
 
-import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")

@@ -2,7 +2,6 @@
 decode: the same greedy continuation, the same block-manager state evolution,
 truncation at EOS / max_tokens."""
 
-import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")

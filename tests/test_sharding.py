@@ -3,7 +3,6 @@ step (forward + sampling) compiles and runs under (data, model) shardings,
 and TP results match single-device results."""
 
 import numpy as np
-import pytest
 
 
 def test_dryrun_multichip_8():
