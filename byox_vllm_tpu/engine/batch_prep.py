@@ -31,6 +31,8 @@ class StepBatch:
     is_prefill: bool
     top_k: np.ndarray | None = None  # [B] int32; 0 = off
     top_p: np.ndarray | None = None  # [B] float32; 1.0 = off
+    seeds: np.ndarray | None = None  # [B] int32; -1 = engine key stream
+    steps: np.ndarray | None = None  # [B] int32 per-seq sample counter
 
     @property
     def needs_filters(self) -> bool:
@@ -52,6 +54,16 @@ def _sampling_filters(seqs: list[Sequence]):
         return (
             np.array([s.top_k for s in seqs], dtype=np.int32),
             np.array([s.top_p for s in seqs], dtype=np.float32),
+        )
+    return None, None
+
+
+def _sampling_seeds(seqs: list[Sequence]):
+    """(seeds, steps) arrays if any sequence is seeded, else (None, None)."""
+    if any(s.seed is not None for s in seqs):
+        return (
+            np.array([-1 if s.seed is None else s.seed for s in seqs], dtype=np.int32),
+            np.array([s.num_completion_tokens for s in seqs], dtype=np.int32),
         )
     return None, None
 
@@ -97,6 +109,8 @@ def prepare_prefill(seqs: list[Sequence], block_size: int) -> StepBatch:
         is_prefill=True,
         top_k=_sampling_filters(seqs)[0],
         top_p=_sampling_filters(seqs)[1],
+        seeds=_sampling_seeds(seqs)[0],
+        steps=_sampling_seeds(seqs)[1],
     )
 
 
@@ -122,6 +136,8 @@ def prepare_decode(seqs: list[Sequence], block_size: int, lookahead: int = 1) ->
         is_prefill=False,
         top_k=_sampling_filters(seqs)[0],
         top_p=_sampling_filters(seqs)[1],
+        seeds=_sampling_seeds(seqs)[0],
+        steps=_sampling_seeds(seqs)[1],
     )
 
 
@@ -155,6 +171,8 @@ def pad_batch(batch: StepBatch, num_seqs: int, num_tokens: int, table_width: int
         is_prefill=batch.is_prefill,
         top_k=None if batch.top_k is None else pad1(batch.top_k, num_seqs, 0),
         top_p=None if batch.top_p is None else pad1(batch.top_p, num_seqs, np.float32(1.0)),
+        seeds=None if batch.seeds is None else pad1(batch.seeds, num_seqs, -1),
+        steps=None if batch.steps is None else pad1(batch.steps, num_seqs, 0),
     )
 
 

@@ -226,6 +226,9 @@ class ModelRunner:
         filters = None
         if padded.top_k is not None:
             filters = (jnp.asarray(padded.top_k), jnp.asarray(padded.top_p))
+        seed_info = None
+        if padded.seeds is not None:
+            seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
         if is_prefill:
             runs = None
             if self.config.kv_cache_dtype == "auto":
@@ -242,6 +245,7 @@ class ModelRunner:
                 step_key,
                 filters,
                 runs,
+                seed_info,
             )
             return np.asarray(tokens)[:n].tolist()
         tokens, self.kv_cache = self._decode(
@@ -254,6 +258,7 @@ class ModelRunner:
             jnp.asarray(padded.temperatures),
             step_key,
             filters,
+            seed_info,
         )
         out = np.asarray(tokens)[:n]  # [n, K]
         return out[:, 0].tolist() if lookahead == 1 else out.tolist()
@@ -311,6 +316,7 @@ def _model_step(
     key,
     filters=None,
     write_runs=None,
+    seed_info=None,
     *,
     forward_fn,
     spec,
@@ -328,7 +334,8 @@ def _model_step(
         write_runs=write_runs,
     )
     top_k, top_p = filters if filters is not None else (None, None)
-    tokens = sample_tokens(logits, temperatures, key, top_k=top_k, top_p=top_p)
+    seeds, steps = seed_info if seed_info is not None else (None, None)
+    tokens = sample_tokens(logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps)
     return tokens, kv_cache
 
 
@@ -368,6 +375,7 @@ def _multi_decode_step(
     temperatures,  # [B]
     key,
     filters=None,
+    seed_info=None,
     *,
     forward_fn,
     spec,
@@ -395,8 +403,13 @@ def _multi_decode_step(
             attention_fn=attention_fn,
         )
         top_k, top_p = filters if filters is not None else (None, None)
+        if seed_info is not None:
+            seeds, steps = seed_info[0], seed_info[1] + step_idx
+        else:
+            seeds, steps = None, None
         next_tokens = sample_tokens(
-            logits, temperatures, jax.random.fold_in(key, step_idx), top_k=top_k, top_p=top_p
+            logits, temperatures, jax.random.fold_in(key, step_idx),
+            top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
         )
         return (next_tokens, kv), next_tokens
 

@@ -20,6 +20,8 @@ def sample_tokens(
     key: jax.Array,
     top_k: jnp.ndarray | None = None,  # [B] int32, 0 = off
     top_p: jnp.ndarray | None = None,  # [B] fp32, 1.0 = off
+    seeds: jnp.ndarray | None = None,  # [B] int32, -1 = engine key stream
+    steps: jnp.ndarray | None = None,  # [B] int32 per-seq sample counter
 ) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -28,7 +30,25 @@ def sample_tokens(
         logits = _filter_top_k_top_p(logits, top_k, top_p)
 
     t = jnp.maximum(temperatures, 1e-6)[:, None]
-    gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    if seeds is None:
+        gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    else:
+        # Per-request reproducibility: a seeded row's noise depends only on
+        # (seed, its own sample index) — independent of batch composition,
+        # which the engine-level key stream cannot give.
+        b, v = logits.shape
+        stream = jax.vmap(lambda i: jax.random.key_data(jax.random.fold_in(key, i)))(
+            jnp.arange(b, dtype=jnp.int32)
+        )
+        seeded = jax.vmap(
+            lambda s, st: jax.random.key_data(
+                jax.random.fold_in(jax.random.PRNGKey(s), st)
+            )
+        )(jnp.maximum(seeds, 0), steps)
+        row_keys = jnp.where((seeds >= 0)[:, None], seeded, stream)
+        gumbel = jax.vmap(
+            lambda kd: jax.random.gumbel(jax.random.wrap_key_data(kd), (v,), dtype=jnp.float32)
+        )(row_keys)
     sampled = jnp.argmax(logits / t + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temperatures > 0.0, sampled, greedy)
 

@@ -119,3 +119,44 @@ def test_engine_top_k_top_p_path(tmp_path):
     m = llm.metrics.summary()
     assert m["num_finished_requests"] == 2
     assert m["ttft_p50_s"] is not None
+
+
+def test_per_request_seed_reproducible(tmp_path):
+    """A seeded request samples identically across runs and regardless of
+    batch composition; unseeded requests keep the engine key stream."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    Qwen3ForCausalLM(cfg).eval().save_pretrained(tmp_path, safe_serialization=True)
+
+    def make():
+        return LLM(
+            str(tmp_path), dtype="float32", max_model_len=128,
+            max_num_batched_tokens=128, num_kvcache_blocks=32, kvcache_block_size=16,
+        )
+
+    prompt = [1, 2, 3, 4, 5]
+    sp = SamplingParams(temperature=1.0, seed=42, max_tokens=10)
+    solo = make().generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    # same seed, different batch composition -> same tokens
+    batched = make().generate(
+        [[9, 8, 7], prompt],
+        [SamplingParams(temperature=1.0, max_tokens=10), SamplingParams(temperature=1.0, seed=42, max_tokens=10)],
+        use_tqdm=False,
+    )[1]["token_ids"]
+    assert solo == batched
+    # different seed -> (almost surely) different tokens
+    other = make().generate([prompt], SamplingParams(temperature=1.0, seed=7, max_tokens=10), use_tqdm=False)
+    assert other[0]["token_ids"] != solo
