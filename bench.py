@@ -66,7 +66,7 @@ def main():
         max_model_len=256,
         max_num_batched_tokens=2048,
         max_num_seqs=256,
-        gpu_memory_utilization=0.7,
+        gpu_memory_utilization=float(os.environ.get("BYOX_BENCH_UTIL", "0.7")),
         num_decode_steps=16,
         quantization=quant,
         kv_cache_dtype=kv_dtype,

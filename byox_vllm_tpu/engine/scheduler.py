@@ -144,7 +144,7 @@ class Scheduler:
             if is_prefill:
                 seq.num_computed_tokens += seq.scheduled_chunk
                 seq.scheduled_chunk = 0
-                if seq.num_computed_tokens < seq.num_prompt_tokens:
+                if seq.num_computed_tokens < seq.num_tokens:
                     continue  # mid-prompt chunk: nothing sampled yet
             if not isinstance(tokens, (list, tuple)):
                 tokens = [tokens]

@@ -80,7 +80,9 @@ class Sequence:
 
     @property
     def num_pending_prefill_tokens(self) -> int:
-        return self.num_prompt_tokens - self.num_computed_tokens
+        # full length, not prompt length: a preempted sequence re-prefills
+        # its generated tokens too (recompute-style preemption)
+        return self.num_tokens - self.num_computed_tokens
 
     @property
     def num_cached_blocks(self) -> int:

@@ -82,3 +82,33 @@ def test_lookahead_blocks_sealed_like_single_step(tiny_model_dir):
         hashes[k] = sorted(h for h in bm.hash_to_block_id if h != -1)
     assert outs[1] == outs[4]
     assert hashes[1] == hashes[4]
+
+
+def test_preemption_with_lookahead_still_correct(tiny_model_dir):
+    """Tiny pool forces mid-generation preemption + recompute while decode
+    runs with lookahead and chunked prefill: output must still match the
+    unconstrained greedy run."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    prompts = [list(range(10, 40)), list(range(50, 80)), list(range(90, 120))]
+    sp = SamplingParams(temperature=0.0, max_tokens=16)
+
+    ref = LLM(
+        tiny_model_dir, dtype="float32", max_model_len=128,
+        max_num_batched_tokens=128, num_kvcache_blocks=64,
+        kvcache_block_size=16, num_decode_steps=1,
+    ).generate(prompts, sp, use_tqdm=False)
+
+    # 7 blocks of 16 = 112 token slots for 3 x (30 + 16) = 138 tokens demanded:
+    # preemption + requeue must kick in; budget 32 forces chunked prefill too
+    tight = LLM(
+        tiny_model_dir, dtype="float32", max_model_len=128,
+        max_num_batched_tokens=32, num_kvcache_blocks=7,
+        kvcache_block_size=16, num_decode_steps=4, enable_chunked_prefill=True,
+    )
+    out = tight.generate(prompts, sp, use_tqdm=False)
+    for r, o in zip(ref, out):
+        assert r["token_ids"] == o["token_ids"]
+    # all blocks reclaimed at the end
+    assert tight.scheduler.block_manager.num_free_blocks == 7
