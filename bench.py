@@ -9,9 +9,11 @@ random-initialized at the real Qwen3-0.6B shape, which exercises the
 identical compute/memory path. Prints one JSON line for the driver.
 """
 
+import glob
 import json
 import os
 import random
+import re
 import sys
 import time
 
@@ -104,16 +106,34 @@ def main():
     tag = "bf16" if not quant else quant
     if kv_dtype != "auto":
         tag += f"_kv{kv_dtype}"
+    metric = f"offline_throughput_qwen3_{model}_{tag}"
     print(
         json.dumps(
             {
-                "metric": f"offline_throughput_qwen3_{model}_{tag}",
+                "metric": metric,
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": _vs_previous_round(metric, tok_s),
             }
         )
     )
+
+
+def _vs_previous_round(metric: str, value: float) -> float:
+    """Ratio vs the most recent recorded round (driver writes BENCH_r{N}.json);
+    1.0 when no prior same-metric record exists (the reference publishes no
+    numbers to compare against, BASELINE.md)."""
+    best = None
+    for path in glob.glob("BENCH_r*.json"):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        if rec.get("metric") == metric and rec.get("value"):
+            n = int(re.search(r"BENCH_r(\d+)", path).group(1))
+            if best is None or n > best[0]:
+                best = (n, rec["value"])
+    return round(value / best[1], 4) if best else 1.0
     print(f"# {total_tokens} tokens in {dt:.2f}s", file=sys.stderr)
 
 
