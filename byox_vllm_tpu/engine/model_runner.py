@@ -104,7 +104,16 @@ class ModelRunner:
 
         # --- parameters -------------------------------------------------
         if config.model:
-            params = model_cls.load_params(config.model, self.spec, self.dtype)
+            from byox_vllm_tpu.tools.quantize import load_prequantized
+
+            params, qmeta = load_prequantized(config.model)
+            if params is not None:
+                from dataclasses import replace
+
+                self.spec = replace(self.spec, quant_bits=qmeta["bits"])
+                logger.info("loaded pre-quantized int%d pack from %s", qmeta["bits"], config.model)
+            else:
+                params = model_cls.load_params(config.model, self.spec, self.dtype)
         else:
             logger.warning("no model path given: using random-initialized weights")
             params = model_cls.init_params(self.spec, self.dtype, seed=config.seed)

@@ -139,3 +139,38 @@ def test_engine_e2e_quantized(quant, tmp_path):
     if quant == "int8":
         # int8 tracks fp32 closely enough for greedy agreement on 2 layers
         assert quant_out[0]["token_ids"] == plain[0]["token_ids"]
+
+
+def test_offline_quantize_roundtrip(tmp_path):
+    """Offline pre-quantization pass: quantize a checkpoint to disk, reload
+    through the engine, outputs match online quantization exactly."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+    from byox_vllm_tpu.tools.quantize import quantize_checkpoint
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=512, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    src = tmp_path / "src"
+    Qwen3ForCausalLM(cfg).eval().save_pretrained(src, safe_serialization=True)
+    packed = tmp_path / "packed"
+    quantize_checkpoint(str(src), str(packed), bits=8, dtype="float32")
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=32, kvcache_block_size=16,
+    )
+    prompts = [[1, 2, 3, 4, 5, 6]]
+    sp = SamplingParams(temperature=0.0, max_tokens=10)
+    online = LLM(str(src), quantization="int8", **common).generate(prompts, sp, use_tqdm=False)
+    offline = LLM(str(packed), **common).generate(prompts, sp, use_tqdm=False)
+    assert online[0]["token_ids"] == offline[0]["token_ids"]
