@@ -121,6 +121,13 @@ class LLMEngine:
 
     # -- batch API --------------------------------------------------------
 
+    def exit(self) -> None:
+        """Release device state (KV pool, params). The reference needs an
+        atexit + RPC shutdown dance across worker processes
+        (llm_engine.py:36,78-82); here dropping the references suffices."""
+        self.model_runner.kv_cache = None
+        self.model_runner.params = None
+
     def generate(
         self,
         prompts: list[str] | list[list[int]],
@@ -141,7 +148,21 @@ class LLMEngine:
 
         for prompt, sp in zip(prompts, sampling_params):
             self.add_request(prompt, sp)
+
+        import contextlib
+        import os
+
+        profile_dir = os.environ.get("BYOX_PROFILE_DIR")
+        profiler = contextlib.nullcontext()
+        if profile_dir:
+            from byox_vllm_tpu.engine.metrics import profile_trace
+
+            profiler = profile_trace(profile_dir)
         outputs: dict[int, list[int]] = {}
+        with profiler:
+            return self._drain(outputs, pbar)
+
+    def _drain(self, outputs, pbar):
         while not self.is_finished():
             t0 = time.perf_counter()
             finished, num_tokens = self.step()
