@@ -115,10 +115,18 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
     key = jax.random.PRNGKey(seed)
     counter = [0]
     L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    # When quantizing, generate on the CPU backend: materializing the full
+    # bf16 tree on the accelerator first would OOM large models (the
+    # quantized pack is 2-4x smaller than the transient fp weights).
+    gen_device = jax.devices("cpu")[0] if spec.quant_bits is not None else None
 
     def w(*shape, scale=0.02):
         counter[0] += 1
-        return scale * jax.random.normal(jax.random.fold_in(key, counter[0]), shape, dtype=dtype)
+        k = jax.random.fold_in(key, counter[0])
+        if gen_device is not None:
+            with jax.default_device(gen_device):
+                return scale * jax.random.normal(k, shape, dtype=dtype)
+        return scale * jax.random.normal(k, shape, dtype=dtype)
 
     def ones(*shape):
         return jnp.ones(shape, dtype=dtype)

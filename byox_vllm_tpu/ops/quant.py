@@ -44,7 +44,7 @@ def pick_group(k: int, bits: int) -> int:
 
 def quantize_weight(w, bits: int = 8, group: int | None = None):
     """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}."""
-    w = np.asarray(jnp.asarray(w, jnp.float32))
+    w = np.asarray(w).astype(np.float32)  # host-side; never lands on the accelerator
     *lead, k, m = w.shape
     g = group or pick_group(k, bits)
     assert k % g == 0
