@@ -210,5 +210,7 @@ def prepare_spec_verify(
         block_tables=_block_tables(seqs),
         temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),
         is_prefill=False,
+        top_k=_sampling_filters(seqs)[0],
+        top_p=_sampling_filters(seqs)[1],
     )
     return batch, draft_matrix, num_drafts

@@ -283,6 +283,9 @@ class ModelRunner:
         )
         n = batch.num_seqs
         bucket = _next_bucket(n, self.seq_buckets)
+        filters = None
+        if batch.top_k is not None:
+            filters = batch.top_k, batch.top_p
         padded = pad_batch(
             batch,
             num_seqs=bucket,
@@ -295,6 +298,12 @@ class ModelRunner:
             return out
 
         self.rng, step_key = jax.random.split(self.rng)
+        padded_filters = None
+        if filters is not None:
+            padded_filters = (
+                jnp.asarray(pad_rows(filters[0])),
+                jnp.asarray(pad_rows(filters[1].astype(np.float32), fill=1.0)),
+            )
         tokens, num_emitted, self.kv_cache = self._spec_verify(
             self.params,
             self.kv_cache,
@@ -307,6 +316,7 @@ class ModelRunner:
             jnp.asarray(pad_rows(num_drafts)),
             jnp.asarray(padded.temperatures),
             step_key,
+            padded_filters,
         )
         tokens = np.asarray(tokens)[:n]
         num_emitted = np.asarray(num_emitted)[:n]
@@ -439,6 +449,7 @@ def _spec_verify_step(
     num_drafts,  # [B]
     temperatures,  # [B]
     key,
+    filters=None,
     *,
     forward_fn,
     spec,
@@ -459,5 +470,8 @@ def _spec_verify_step(
         attention_fn=_partial(paged_attention, backend=attention_backend),
         all_logits=True,
     )
-    tokens, num_emitted = verify_and_sample(logits, draft_tokens, num_drafts, temperatures, key)
+    top_k, top_p = filters if filters is not None else (None, None)
+    tokens, num_emitted = verify_and_sample(
+        logits, draft_tokens, num_drafts, temperatures, key, top_k=top_k, top_p=top_p
+    )
     return tokens, num_emitted, kv_cache

@@ -19,6 +19,8 @@ vocab row per sequence.
 import jax
 import jax.numpy as jnp
 
+from byox_vllm_tpu.ops.sampler import _filter_top_k_top_p
+
 
 def verify_and_sample(
     logits: jnp.ndarray,  # [B, T, V] fp32; position i scores token len+i
@@ -26,14 +28,22 @@ def verify_and_sample(
     num_drafts: jnp.ndarray,  # [B] int32 in [0, K]
     temperatures: jnp.ndarray,  # [B] fp32 (0 = greedy)
     key: jax.Array,
+    top_k: jnp.ndarray | None = None,  # [B] int32, 0 = off
+    top_p: jnp.ndarray | None = None,  # [B] fp32, 1.0 = off
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, K+1] int32, num_emitted [B] int32). Row b's first
-    ``num_emitted[b]`` = accepted drafts + one sampled token."""
+    ``num_emitted[b]`` = accepted drafts + one sampled token. With top-k/p
+    the *filtered* distribution is the verification target: filtered-out
+    draft tokens have probability 0 and are always rejected."""
     b, t, v = logits.shape
     k = draft_tokens.shape[1]
     assert t >= k + 1
 
     logits = logits.astype(jnp.float32)
+    if top_k is not None or top_p is not None:
+        flat = logits.reshape(b * t, v)
+        rep = lambda x: None if x is None else jnp.repeat(x, t, axis=0)
+        logits = _filter_top_k_top_p(flat, rep(top_k), rep(top_p)).reshape(b, t, v)
     temps = jnp.maximum(temperatures, 1e-6)[:, None]
     greedy = (temperatures == 0.0)[:, None]
 

@@ -133,3 +133,31 @@ def test_spec_metrics_accounting():
     assert s["num_accepted_tokens"] == 2
     assert s["acceptance_rate_per_pos"] == [0.5, 0.5, 0.0]
     assert abs(s["mean_acceptance_length"] - 2.0) < 1e-9
+
+
+def test_spec_with_top_k_1_matches_greedy(tiny_model_dir):
+    """Spec decoding under top_k=1 must equal plain greedy (the filtered
+    target distribution is a point mass)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=16,
+    )
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2]]
+    greedy = LLM(tiny_model_dir, **common).generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=16), use_tqdm=False
+    )
+    spec_llm = LLM(
+        tiny_model_dir,
+        speculative_config={
+            "method": "ngram", "num_speculative_tokens": 4,
+            "prompt_lookup_max": 3, "prompt_lookup_min": 1,
+        },
+        **common,
+    )
+    out = spec_llm.generate(
+        prompts, SamplingParams(temperature=1.3, top_k=1, max_tokens=16), use_tqdm=False
+    )
+    assert out[0]["token_ids"] == greedy[0]["token_ids"]
