@@ -38,13 +38,18 @@ def paged_attention(
     """Backend dispatch: Pallas decode kernel on TPU for Tq == 1 (the
     throughput path), XLA dense fallback everywhere else. Tq is a static
     shape, so the branch resolves at trace time."""
+    import os
+
     tq = q.shape[1]
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
     if tq == 1 and use_pallas:
-        from byox_vllm_tpu.ops.paged_attention import paged_decode_attention
+        if os.environ.get("BYOX_DECODE_KERNEL", "v1") == "v2":
+            from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2 as kernel
+        else:
+            from byox_vllm_tpu.ops.paged_attention import paged_decode_attention as kernel
 
-        out = paged_decode_attention(
+        out = kernel(
             q[:, 0], k_pool, v_pool, block_tables, context_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
             kv_scales=kv_scales,

@@ -71,3 +71,71 @@ def test_kernel_gqa_group1():
     )
     ref = paged_attention_dense(q, kp, vp, tables, ctx, (ctx - 1)[:, None], 16, 128**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "ctx_lens",
+    [
+        [7],
+        [16, 9, 32],
+        [1, 0, 40, 25],
+    ],
+)
+def test_kernel_v2_matches_dense(ctx_lens):
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+
+    rng = np.random.default_rng(0)
+    b, nh, nkv, hd, bs = len(ctx_lens), 8, 4, 128, 16
+    w = 4
+    q, kp, vp, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    scale = hd**-0.5
+    positions = (ctx - 1)[:, None]
+
+    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale)
+    out = paged_decode_attention_v2(
+        q[:, 0], kp, vp, tables, ctx, block_size=bs, scale=scale, interpret=True
+    )
+    valid = np.asarray(ctx) > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=1e-5, atol=1e-5
+    )
+    assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0
+
+
+def test_kernel_v2_int8_matches_dense():
+    from byox_vllm_tpu.ops.kv_cache import write_kv_quant
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+
+    rng = np.random.default_rng(1)
+    b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 3
+    ctx = [20, 37]
+    S = 16 * bs
+    kp = jnp.zeros((S, nkv * hd), jnp.int8)
+    vp = jnp.zeros((S, nkv * hd), jnp.int8)
+    ks = jnp.zeros((S, nkv), jnp.float32)
+    vs = jnp.zeros((S, nkv), jnp.float32)
+    tables = np.full((b, w), -1, np.int32)
+    nxt = 0
+    for i, c in enumerate(ctx):
+        nblk = -(-c // bs)
+        slots = []
+        for j in range(nblk):
+            tables[i, j] = nxt
+            hi = min(c, (j + 1) * bs) - j * bs
+            slots += list(range(nxt * bs, nxt * bs + hi))
+            nxt += 1
+        rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+        rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+        kp, vp, ks, vs = write_kv_quant(kp, vp, ks, vs, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+    tables = jnp.asarray(tables)
+    ctx_a = jnp.asarray(ctx, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
+    scale = hd**-0.5
+    ref = paged_attention_dense(
+        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=(ks, vs)
+    )
+    out = paged_decode_attention_v2(
+        q[:, 0], kp, vp, tables, ctx_a, block_size=bs, scale=scale,
+        interpret=True, kv_scales=(ks, vs),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-4, atol=1e-4)
