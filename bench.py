@@ -59,6 +59,7 @@ def main():
     from byox_vllm_tpu.sampling_params import SamplingParams
 
     random.seed(0)
+    num_seqs = int(os.environ.get("BYOX_BENCH_SEQS", NUM_SEQS))
     quant = os.environ.get("BYOX_BENCH_QUANT")  # None | int8 | int4
     kv_dtype = os.environ.get("BYOX_BENCH_KV", "auto")  # auto | int8
     model = os.environ.get("BYOX_BENCH_MODEL", "0.6b")  # 0.6b | 8b
@@ -76,11 +77,11 @@ def main():
 
     prompts = [
         [random.randint(0, 10000) for _ in range(random.randint(100, MAX_INPUT_LEN))]
-        for _ in range(NUM_SEQS)
+        for _ in range(num_seqs)
     ]
     sampling = [
         SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=random.randint(100, MAX_OUTPUT_LEN))
-        for _ in range(NUM_SEQS)
+        for _ in range(num_seqs)
     ]
 
     # Warmup with a full same-shape workload on *different* prompts:
