@@ -72,22 +72,28 @@ def _unpack_int4_tile(byte_f32):
     return jnp.concatenate([lo, hi], axis=0)
 
 
-def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, out_dtype):
+def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, group_size, out_dtype):
     k = pl.program_id(1)
     num_k = pl.num_programs(1)
+    tm = wq_ref.shape[-1]
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if bits == 8:
-        w = wq_ref[...].astype(jnp.float32)
+        w = wq_ref[...].astype(jnp.float32)  # [gpt*gsize, TM]
+        w = w.reshape(groups_per_tile, group_size, tm)
     else:
         raw = wq_ref[...].astype(jnp.int32)
         byte = jnp.where(raw < 0, raw + 256, raw).astype(jnp.float32)  # int8 -> uint8
-        w = _unpack_int4_tile(byte)
-    # s_ref holds all groups' scale rows for this m-tile; pick group k
-    w = (w * s_ref[pl.ds(k, 1), :]).astype(jnp.bfloat16)  # [TK, TM]
+        grouped = byte.reshape(groups_per_tile, group_size // 2, tm)
+        lo = jnp.mod(grouped, 16.0) - 8.0
+        hi = jnp.floor(grouped / 16.0) - 8.0
+        w = jnp.concatenate([lo, hi], axis=1)  # [gpt, gsize, TM]
+    # scale rows for this k-tile's groups: [gpt, TM]
+    scales = s_ref[pl.ds(k * groups_per_tile, groups_per_tile), :]
+    w = (w * scales[:, None, :]).reshape(groups_per_tile * group_size, tm).astype(jnp.bfloat16)
     acc_ref[...] += jax.lax.dot(
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
@@ -97,7 +103,7 @@ def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, out_dtype):
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "interpret", "tile_m"))
+@functools.partial(jax.jit, static_argnames=("bits", "interpret", "tile_m", "tile_k"))
 def quant_matmul_pallas(
     x: jnp.ndarray,  # [N, K]
     wq: jnp.ndarray,  # [K, M] int8 or [K/2, M] group-local-packed int4
@@ -106,11 +112,18 @@ def quant_matmul_pallas(
     bits: int,
     interpret: bool = False,
     tile_m: int = 512,
+    tile_k: int = 512,
 ) -> jnp.ndarray:
     n, k = x.shape
     m = wq.shape[-1]
     groups = scales.shape[0]
-    tk = k // groups  # one k-tile per scale group
+    gsize = k // groups
+    # k-tiles span several quantization groups: fewer grid steps (grid-step
+    # overhead dominated the original one-group-per-tile layout at 8B scale)
+    tk = min(tile_k, k)
+    while k % tk or tk % gsize:
+        tk //= 2
+    gpt = tk // gsize
     # cap the output tile so the f32 accumulator fits VMEM at large N
     # (prefill feeds thousands of rows; decode feeds the batch)
     acc_budget = 4 * 1024 * 1024
@@ -118,11 +131,13 @@ def quant_matmul_pallas(
     while m % tm:
         tm //= 2
     assert m % tm == 0 and k % tk == 0
-    num_m, num_k = m // tm, groups
+    num_m, num_k = m // tm, k // tk
     pack = 1 if bits == 8 else 2
 
     return pl.pallas_call(
-        functools.partial(_qmm_kernel, bits=bits, out_dtype=x.dtype),
+        functools.partial(
+            _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize, out_dtype=x.dtype
+        ),
         grid=(num_m, num_k),
         in_specs=[
             pl.BlockSpec((n, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
