@@ -91,8 +91,10 @@ def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, 
         lo = jnp.mod(grouped, 16.0) - 8.0
         hi = jnp.floor(grouped / 16.0) - 8.0
         w = jnp.concatenate([lo, hi], axis=1)  # [gpt, gsize, TM]
-    # scale rows for this k-tile's groups: [gpt, TM]
-    scales = s_ref[pl.ds(k * groups_per_tile, groups_per_tile), :]
+    # scale rows for this k-tile's groups arrive pre-blocked [gpt, TM]
+    # (blocking them via the grid keeps Mosaic slices statically aligned;
+    # an in-kernel pl.ds at k*gpt fails to compile when gpt % 8 != 0)
+    scales = s_ref[...]
     w = (w * scales[:, None, :]).reshape(groups_per_tile * group_size, tm).astype(jnp.bfloat16)
     acc_ref[...] += jax.lax.dot(
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
@@ -112,7 +114,7 @@ def quant_matmul_pallas(
     bits: int,
     interpret: bool = False,
     tile_m: int = 512,
-    tile_k: int = 512,
+    tile_k: int = 1024,
 ) -> jnp.ndarray:
     n, k = x.shape
     m = wq.shape[-1]
@@ -124,6 +126,17 @@ def quant_matmul_pallas(
     while k % tk or tk % gsize:
         tk //= 2
     gpt = tk // gsize
+    if not interpret and gpt % 8:
+        # Mosaic requires the scales block's sublane dim (= groups per tile)
+        # to be a multiple of 8; widen the k-tile when K allows, else the
+        # caller must take the dense path (tiny K only).
+        if k % (8 * gsize) == 0:
+            tk = 8 * gsize
+            while tk * 2 <= max(tile_k, tk) and k % (tk * 2) == 0 and tk < tile_k:
+                tk *= 2
+            gpt = tk // gsize
+        else:
+            raise ValueError(f"K={k} with group {gsize} not tileable for the TPU qmm kernel")
     # cap the output tile so the f32 accumulator fits VMEM at large N
     # (prefill feeds thousands of rows; decode feeds the batch)
     acc_budget = 4 * 1024 * 1024
@@ -142,7 +155,7 @@ def quant_matmul_pallas(
         in_specs=[
             pl.BlockSpec((n, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // pack, tm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((groups, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, tm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
@@ -177,7 +190,10 @@ def quant_matmul(x: jnp.ndarray, w: dict, bits: int, backend: str = "auto") -> j
     x2 = x.reshape(-1, x.shape[-1])
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if backend != "dense" and (backend == "pallas" or on_tpu):
-        out = quant_matmul_pallas(x2, w["q"], w["s"], bits=bits, interpret=not on_tpu)
+        try:
+            out = quant_matmul_pallas(x2, w["q"], w["s"], bits=bits, interpret=not on_tpu)
+        except ValueError:  # K too small to tile on hardware
+            out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
     else:
         out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
     return out.reshape(*lead, -1)
