@@ -67,10 +67,10 @@ def main():
     llm = LLM(
         hf_config=dict(hf_cfg),
         max_model_len=256,
-        max_num_batched_tokens=2048,
+        max_num_batched_tokens=int(os.environ.get("BYOX_BENCH_BUDGET", "2048")),
         max_num_seqs=256,
         gpu_memory_utilization=float(os.environ.get("BYOX_BENCH_UTIL", "0.7")),
-        num_decode_steps=16,
+        num_decode_steps=int(os.environ.get("BYOX_BENCH_STEPS", "16")),
         quantization=quant,
         kv_cache_dtype=kv_dtype,
     )

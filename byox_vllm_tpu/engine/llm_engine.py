@@ -163,10 +163,18 @@ class LLMEngine:
             return self._drain(outputs, pbar)
 
     def _drain(self, outputs, pbar):
+        import os
+
+        step_log = bool(os.environ.get("BYOX_STEP_LOG"))
         while not self.is_finished():
             t0 = time.perf_counter()
             finished, num_tokens = self.step()
             dt = max(time.perf_counter() - t0, 1e-9)
+            if step_log:
+                import sys
+
+                kind = "prefill" if num_tokens > 0 else "decode"
+                print(f"step {kind}: {abs(num_tokens)} tokens in {dt * 1e3:.1f} ms", file=sys.stderr)
             if num_tokens > 0:
                 self._stats["prefill_tok_s"] = num_tokens / dt
             elif num_tokens < 0:
