@@ -199,13 +199,15 @@ class ModelRunner:
             return 2048  # tests / CPU dev: fixed small pool
         weights = param_bytes(self.params)
         tp = self.config.tensor_parallel_size
+        nkv_tp = max(1, self.spec.num_kv_heads // tp)
         if self.config.kv_cache_dtype == "int8":
-            per_head_bytes = self.spec.head_dim + 4  # int8 row + f32 scale
+            from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+
+            # int8 K+V rows + one [SCALE_LANES] bf16 scale row per slot
+            per_token_bytes = 2 * nkv_tp * self.spec.head_dim + 2 * SCALE_LANES
         else:
-            per_head_bytes = self.spec.head_dim * self.dtype.itemsize
-        kv_bytes_per_token = (
-            self.spec.num_layers * 2 * max(1, self.spec.num_kv_heads // tp) * per_head_bytes
-        )
+            per_token_bytes = 2 * nkv_tp * self.spec.head_dim * self.dtype.itemsize
+        kv_bytes_per_token = self.spec.num_layers * per_token_bytes
         budget = int(limit * self.config.gpu_memory_utilization) - weights // tp - _ACTIVATION_HEADROOM
         num_blocks = max(16, budget // (kv_bytes_per_token * self.block_size))
         # don't allocate more capacity than max_num_seqs full-length seqs need

@@ -216,10 +216,10 @@ def forward(
 
         k_flat = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
         v_flat = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
-        if len(kv_cache[i]) == 4:  # int8 KV cache with per-(token, head) scales
-            k_pool, v_pool, ks, vs = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
-            new_kv.append((k_pool, v_pool, ks, vs))
-            kv_scales = (ks, vs)
+        if len(kv_cache[i]) == 3:  # int8 KV cache + unified [S, 128] scale pool
+            k_pool, v_pool, sc = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
+            new_kv.append((k_pool, v_pool, sc))
+            kv_scales = sc
         elif write_runs is not None:
             k_pool, v_pool = write_kv_runs(
                 kv_cache[i][0], kv_cache[i][1], k_flat, v_flat,
@@ -258,17 +258,17 @@ def forward(
 def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16) -> list:
     """Per-layer KV pool pytree, each pool [num_slots, nkv*hd] token-major
     flat rows (see ops/kv_cache.py for why). dtype int8 selects the
-    quantized cache: per-layer (k, v, k_scale, v_scale) with per-(token,
-    head) scales."""
+    quantized cache: per-layer (k, v, kv_scale) where kv_scale packs the
+    per-(token, head) K and V scales into one [num_slots, 128] bf16 row."""
     shape = (num_slots, spec.num_kv_heads * spec.head_dim)
     if jnp.dtype(dtype) == jnp.int8:
-        sshape = (num_slots, spec.num_kv_heads)
+        from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+
         return [
             (
                 jnp.zeros(shape, jnp.int8),
                 jnp.zeros(shape, jnp.int8),
-                jnp.zeros(sshape, jnp.float32),
-                jnp.zeros(sshape, jnp.float32),
+                jnp.zeros((num_slots, SCALE_LANES), jnp.bfloat16),
             )
             for _ in range(spec.num_layers)
         ]

@@ -57,42 +57,55 @@ def gather_kv(pool: jnp.ndarray, block_tables: jnp.ndarray, block_size: int, hea
 # --- INT8 KV cache (north-star option: halves decode attention traffic) ----
 
 KV_QMAX = 127.0
+# K and V scales share one [S, SCALE_LANES] bf16 pool row per slot: K scales
+# in lanes [0, nkv), V scales in [nkv, 2*nkv), zero elsewhere. One row = one
+# 128-lane tile, so (a) the write is a single full-row leading-axis scatter
+# (in-place, like the data pools) and (b) the Pallas kernels can DMA a page
+# of scales as an aligned [block_size, 128] tile — Mosaic rejects manual
+# DMAs whose lane dim isn't 128-aligned, which rules out an [S, nkv] layout
+# — and extract per-head rows with a one-hot MXU matmul instead of lane
+# slicing. bf16 costs 256 B/slot (12.5% of the int8 K+V payload) vs 512 B
+# for f32; the quantizer rounds the scale to bf16 BEFORE quantizing so the
+# kernel and the XLA fallback dequantize bit-identically.
+SCALE_LANES = 128
 
 
 def write_kv_quant(
     k_pool: jnp.ndarray,  # [S, nkv*hd] int8
     v_pool: jnp.ndarray,  # [S, nkv*hd] int8
-    k_scale: jnp.ndarray,  # [S, nkv] f32
-    v_scale: jnp.ndarray,  # [S, nkv] f32
+    kv_scale: jnp.ndarray,  # [S, SCALE_LANES] bf16 (see layout above)
     k_new: jnp.ndarray,  # [N, nkv, hd] float
     v_new: jnp.ndarray,  # [N, nkv, hd] float
     slot_mapping: jnp.ndarray,  # [N] int32, -1 = padding (dropped)
 ):
     """Per-(token, head) symmetric int8 quantization at cache-write time.
-    Scales live in a parallel [S, nkv] array; all four scatters are
-    leading-axis (in-place, see module docstring)."""
+    All three scatters are leading-axis (in-place, see module docstring)."""
     num_slots = k_pool.shape[0]
     n, nkv, hd = k_new.shape
+    assert 2 * nkv <= SCALE_LANES, f"nkv={nkv} too large for the scale row"
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
 
     def quantize(rows):
         rows = rows.astype(jnp.float32)
         scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1), 1e-8) / KV_QMAX  # [N, nkv]
-        q = jnp.clip(jnp.round(rows / scale[..., None]), -KV_QMAX, KV_QMAX)
+        scale = scale.astype(jnp.bfloat16)  # round FIRST: kernel dequant must match
+        q = jnp.clip(jnp.round(rows / scale.astype(jnp.float32)[..., None]), -KV_QMAX, KV_QMAX)
         return q.reshape(n, nkv * hd).astype(jnp.int8), scale
 
     kq, ks = quantize(k_new)
     vq, vs = quantize(v_new)
+    pad = jnp.zeros((n, SCALE_LANES - 2 * nkv), jnp.bfloat16)
+    scale_rows = jnp.concatenate([ks, vs, pad], axis=-1)  # [N, SCALE_LANES]
     k_pool = k_pool.at[slots].set(kq, mode="drop")
     v_pool = v_pool.at[slots].set(vq, mode="drop")
-    k_scale = k_scale.at[slots].set(ks, mode="drop")
-    v_scale = v_scale.at[slots].set(vs, mode="drop")
-    return k_pool, v_pool, k_scale, v_scale
+    kv_scale = kv_scale.at[slots].set(scale_rows, mode="drop")
+    return k_pool, v_pool, kv_scale
 
 
 def gather_kv_quant(
     pool: jnp.ndarray,  # [S, nkv*hd] int8
-    scale: jnp.ndarray,  # [S, nkv] f32
+    kv_scale: jnp.ndarray,  # [S, SCALE_LANES] bf16
+    lane_offset: int,  # 0 for K, nkv for V
     block_tables: jnp.ndarray,
     block_size: int,
     head_dim: int,
@@ -106,7 +119,9 @@ def gather_kv_quant(
     slots = block_tables[:, :, None] * block_size + offsets[None, None, :]
     slots = jnp.where(block_tables[:, :, None] < 0, num_slots, slots).reshape(b * w * block_size)
     rows = jnp.take(pool, slots, axis=0, mode="fill", fill_value=0)
-    scales = jnp.take(scale, slots, axis=0, mode="fill", fill_value=0)
+    scales = jnp.take(
+        kv_scale[:, lane_offset : lane_offset + nkv], slots, axis=0, mode="fill", fill_value=0
+    ).astype(jnp.float32)
     deq = rows.reshape(-1, nkv, head_dim).astype(jnp.float32) * scales[..., None]
     return deq.reshape(b, w * block_size, nkv, head_dim).astype(out_dtype)
 

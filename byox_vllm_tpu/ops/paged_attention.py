@@ -53,7 +53,7 @@ def _decode_kernel(
     quantized: bool,
 ):
     if quantized:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        sc_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
@@ -78,24 +78,35 @@ def _decode_kernel(
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 1)
         onehot = (head_of == kv_idx).astype(jnp.float32)
 
-        k = k_ref[0].astype(jnp.float32)  # [bs, F]
-        v = v_ref[0].astype(jnp.float32)
-        if quantized:
-            ks = ks_ref[0]  # [bs, nkv] f32
-            vs = vs_ref[0]
-            k = (k.reshape(block_size, num_kv_heads, head_dim) * ks[..., None]).reshape(
-                block_size, f
-            )
-            v = (v.reshape(block_size, num_kv_heads, head_dim) * vs[..., None]).reshape(
-                block_size, f
-            )
+        # matmuls run in the query dtype: bf16 in production (f32 MXU
+        # rate is ~1/8 with the M=nh dim already underutilizing the array),
+        # f32 when the caller wants exactness (tests). int8 scales fold into
+        # the [nh, bs] score/prob matrices instead of dequantizing [bs, F] —
+        # see _decode_kernel_v2 for the argument. The tiny [nh, nkv, hd]
+        # one-hot expansion stays f32 (Mosaic can't minor-dim-broadcast
+        # sub-32-bit types); operands cast to cdt at the matmul boundary.
+        cdt = jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
+        k = k_ref[0].astype(cdt)  # [bs, F]
+        v = v_ref[0].astype(cdt)
 
         q = q_ref[0].astype(jnp.float32)  # [nh, hd]
         # scatter each query into its kv head's lane block: [nh, F]
-        qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f)
+        qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
         s = jax.lax.dot_general(
             qe, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [nh, bs]
+        if quantized:
+            # per-head scale rows extracted from the [bs, 128] scale tile by
+            # one-hot matmul (lane g(h) = K scale, lane nkv+g(h) = V scale)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 1)
+            hof = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 0) // group
+            oh_k = (lane == hof).astype(cdt)
+            oh_v = (lane == hof + num_kv_heads).astype(cdt)
+            sc = sc_ref[0].astype(cdt)  # [bs, 128]
+            ks_heads = jax.lax.dot_general(
+                oh_k, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [nh, bs]
+            s = s * ks_heads
 
         col = jax.lax.broadcasted_iota(jnp.int32, (nh, block_size), 1)
         s = jnp.where(col < valid, s, _NEG_INF)
@@ -108,8 +119,14 @@ def _decode_kernel(
         l_ref[:, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, 0:1] = m_new
 
+        if quantized:
+            vs_heads = jax.lax.dot_general(
+                oh_v, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [nh, bs]
+            p = p * vs_heads
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [nh, F]
         # select each head's own lane block back out: [nh, hd]
         pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
@@ -134,7 +151,7 @@ def paged_decode_attention(
     block_size: int,
     scale: float,
     interpret: bool = False,
-    kv_scales=None,  # (k_scale [S, nkv], v_scale [S, nkv]) when the pool is int8
+    kv_scales=None,  # unified [S, 128] bf16 scale pool when the pool is int8
 ) -> jnp.ndarray:
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -161,13 +178,9 @@ def paged_decode_attention(
     ]
     operands = [q, kp, vp]
     if quantized:
-        ks = kv_scales[0].reshape(num_blocks, block_size, nkv)
-        vs = kv_scales[1].reshape(num_blocks, block_size, nkv)
-        in_specs += [
-            pl.BlockSpec((1, block_size, nkv), page_index),
-            pl.BlockSpec((1, block_size, nkv), page_index),
-        ]
-        operands += [ks, vs]
+        scale_lanes = kv_scales.shape[1]
+        in_specs += [pl.BlockSpec((1, block_size, scale_lanes), page_index)]
+        operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, w),
@@ -197,15 +210,19 @@ def paged_decode_attention(
 
 
 # ---------------------------------------------------------------------------
-# v2 decode kernel: grid (B,) with manual double-buffered page DMAs.
+# v2 decode kernel: grid (B, C) with manual double-buffered chunk DMAs.
 #
 # The (B, W) pipeline above issues one grid step per (sequence, page); at
 # B=128, W=4 that is 512 steps whose fixed overhead dominates a bandwidth-
-# bound kernel. Here each grid step handles one sequence: its valid pages
-# are DMA'd from HBM into a VMEM span (invalid pages are simply never
-# fetched), the next sequence's pages prefetch while the current one
-# computes, and attention is a single-pass softmax over the whole span
-# (no online m/l state machine) with the same one-hot GQA expansion.
+# bound kernel (and its BlockSpec pipeline degrades badly past ~4 pages —
+# measured 36 GB/s at ctx 504 vs 422 GB/s for this kernel). Here each grid
+# step handles one CHUNK of up to `pages_per_chunk` pages of one sequence:
+# the chunk's valid pages are DMA'd from HBM into a VMEM span (invalid pages
+# are simply never fetched), the next chunk (or next sequence's first chunk)
+# prefetches while the current one computes, and softmax runs online across
+# chunks (m/l/acc scratch) with the same one-hot GQA expansion. Short
+# contexts take one chunk = single-pass softmax; long contexts stay within
+# a fixed VMEM budget.
 # ---------------------------------------------------------------------------
 
 
@@ -217,36 +234,41 @@ def _decode_kernel_v2(
     q_ref,  # [1, nh, hd] (VMEM block)
     k_hbm,  # [nb, bs, F] (ANY/HBM)
     v_hbm,  # [nb, bs, F]
-    *rest,  # [ks_hbm, vs_hbm [nb, bs, nkv] if int8], o_ref, kbuf, vbuf, (ksbuf, vsbuf), sems
+    *rest,  # [ks_hbm, vs_hbm [nb, bs, nkv] if int8], o_ref, kbuf, vbuf,
+    #         (ksbuf, vsbuf), m/l/acc scratch, sems
     scale: float,
     block_size: int,
     num_kv_heads: int,
     group: int,
     head_dim: int,
-    num_pages: int,
+    pages_per_chunk: int,
+    num_table_pages: int,
     quantized: bool,
 ):
     if quantized:
-        ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksbuf, vsbuf, sems = rest
+        sc_hbm, o_ref, kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
     else:
-        o_ref, kbuf, vbuf, sems = rest
-        ks_hbm = vs_hbm = ksbuf = vsbuf = None
+        o_ref, kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
+        sc_hbm = scbuf = None
     b = pl.program_id(0)
+    c = pl.program_id(1)
     num_seqs = pl.num_programs(0)
+    num_chunks = pl.num_programs(1)
+    ppc = pages_per_chunk
+    span = ppc * block_size
     nh = num_kv_heads * group
     f = num_kv_heads * head_dim
-    span = num_pages * block_size
 
     def valid_pages_of(i):
         ctx = context_lens_ref[i]
-        return jnp.clip(pl.cdiv(ctx, block_size), 0, num_pages)
+        return jnp.clip(pl.cdiv(ctx, block_size), 0, num_table_pages)
 
-    def page_copies(i, slot, j):
-        """DMA descriptors for page j of sequence i into buffer `slot`."""
-        page = block_tables_ref[i, j]
+    def page_copies(i, cc, slot, j):
+        """DMA descriptors for page j of chunk cc of sequence i into `slot`."""
+        page = block_tables_ref[i, cc * ppc + j]
         pairs = [(k_hbm, kbuf), (v_hbm, vbuf)]
         if quantized:
-            pairs += [(ks_hbm, ksbuf), (vs_hbm, vsbuf)]
+            pairs += [(sc_hbm, scbuf)]
         return [
             pltpu.make_async_copy(
                 src.at[page],
@@ -256,77 +278,128 @@ def _decode_kernel_v2(
             for idx, (src, dst) in enumerate(pairs)
         ]
 
-    def start_fetch(i, slot):
-        n_valid = valid_pages_of(i)
-        for j in range(num_pages):
+    def start_fetch(i, cc, slot):
+        n_valid = valid_pages_of(i) - cc * ppc
+        for j in range(ppc):
             @pl.when(j < n_valid)
             def _():
-                for c in page_copies(i, slot, j):
-                    c.start()
+                for cp in page_copies(i, cc, slot, j):
+                    cp.start()
 
-    def wait_fetch(i, slot):
+    def wait_fetch(i, cc, slot):
         # rebuilding the same (src, dst, sem) triple waits the matching DMA
-        n_valid = valid_pages_of(i)
-        for j in range(num_pages):
+        n_valid = valid_pages_of(i) - cc * ppc
+        for j in range(ppc):
             @pl.when(j < n_valid)
             def _():
-                for c in page_copies(i, slot, j):
-                    c.wait()
+                for cp in page_copies(i, cc, slot, j):
+                    cp.wait()
 
-    @pl.when(b == 0)
+    @pl.when((b == 0) & (c == 0))
     def _warmup():
-        start_fetch(0, 0)
+        start_fetch(0, 0, 0)
 
-    slot = jax.lax.rem(b, 2)
-    next_slot = jax.lax.rem(b + 1, 2)
+    g = b * num_chunks + c
+    slot = jax.lax.rem(g, 2)
+    next_slot = jax.lax.rem(g + 1, 2)
+    last_chunk = c == num_chunks - 1
+    nb = jnp.where(last_chunk, b + 1, b)
+    nc = jnp.where(last_chunk, 0, c + 1)
 
-    @pl.when(b + 1 < num_seqs)
+    @pl.when(nb < num_seqs)
     def _prefetch():
-        start_fetch(b + 1, next_slot)
+        start_fetch(nb, nc, next_slot)
 
-    wait_fetch(b, slot)
+    wait_fetch(b, c, slot)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     ctx = context_lens_ref[b]
-    del next_slot
+    local_ctx = ctx - c * span  # tokens of this chunk in-context (may be <=0)
+
     head_of = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 0) // group
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 1)
     onehot = (head_of == kv_idx).astype(jnp.float32)
+    cdt = jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
+    oh = onehot.astype(cdt)  # 2D matmul operand
 
-    k = kbuf[slot].astype(jnp.float32)  # [span, F]
-    v = vbuf[slot].astype(jnp.float32)
-    if quantized:
-        ks = ksbuf[slot]  # [span, nkv]
-        vs = vsbuf[slot]
-        k = (k.reshape(span, num_kv_heads, head_dim) * ks[..., None]).reshape(span, f)
-        v = (v.reshape(span, num_kv_heads, head_dim) * vs[..., None]).reshape(span, f)
-    # rows past the context were never fetched: uninitialized VMEM may hold
-    # NaN bits, and 0 * NaN = NaN through the PV matmul — zero them
-    row = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
-    k = jnp.where(row < ctx, k, 0.0)
-    v = jnp.where(row < ctx, v, 0.0)
+    @pl.when(local_ctx > 0)
+    def _chunk():
+        # Matmuls run in the query dtype: bf16 in production (f32 MXU
+        # throughput is ~1/8 and the M=nh dim already underutilizes the
+        # systolic array), f32 when the caller wants exactness (tests);
+        # softmax stats stay f32. For the int8 pool the [span, F] tiles are
+        # never dequantized: each query head h only reads kv-head g(h)'s
+        # lanes (qe is zero elsewhere, and the output select keeps only
+        # g(h)'s lanes), so the per-(token, head) scales fold into the
+        # [nh, span] score/prob matrices instead — 32x less scale work.
+        k = kbuf[slot].astype(cdt)  # [span, F]
+        v = vbuf[slot].astype(cdt)
+        # rows past the context were never fetched: uninitialized VMEM may
+        # hold NaN bits, and 0 * NaN = NaN through the PV matmul — zero V
+        # (K's garbage only lands in score entries the col-mask overwrites)
+        row = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
+        v = jnp.where(row < local_ctx, v, 0.0)
 
-    q = q_ref[0].astype(jnp.float32)  # [nh, hd]
-    qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f)
-    s = jax.lax.dot_general(
-        qe, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [nh, span]
-    col = jax.lax.broadcasted_iota(jnp.int32, (nh, span), 1)
-    s = jnp.where(col < ctx, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-20)
-    pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [nh, F]
-    pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
-    out = pv / l
-    # fully-masked padding rows (ctx == 0): exp(-inf - -inf)=... guard to zero
-    out = jnp.where(ctx > 0, out, 0.0)
-    o_ref[0] = out.astype(o_ref.dtype)
+        q = q_ref[0].astype(jnp.float32)  # [nh, hd]
+        # tiny expansion stays f32 (Mosaic minor-dim broadcast needs 32-bit)
+        qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
+        s = jax.lax.dot_general(
+            qe, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [nh, span]
+        col = jax.lax.broadcasted_iota(jnp.int32, (nh, span), 1)
+        if quantized:
+            # per-head scale rows extracted from the [span, 128] scale tile
+            # by one-hot matmul (lane g(h) = K scale, lane nkv+g(h) = V)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 1)
+            hof = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 0) // group
+            oh_k = (lane == hof).astype(cdt)
+            oh_v = (lane == hof + num_kv_heads).astype(cdt)
+            sc = scbuf[slot].astype(cdt)  # [span, 128]
+            ks_heads = jax.lax.dot_general(
+                oh_k, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [nh, span]
+            s = s * ks_heads
+        s = jnp.where(col < local_ctx, s, _NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [nh, span]
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+
+        if quantized:
+            vs_heads = jax.lax.dot_general(
+                oh_v, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [nh, span]
+            # scale rows past ctx are unfetched VMEM (may be NaN) and 0 *
+            # NaN = NaN: re-mask after the fold (p is exactly 0 otherwise)
+            p = jnp.where(col < local_ctx, p * vs_heads, 0.0)
+        pv = jax.lax.dot_general(
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [nh, F]
+        # select each head's own lane block back out: [nh, hd]
+        pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(last_chunk)
+    def _finish():
+        l = jnp.maximum(l_ref[:, 0:1], 1e-20)
+        out = acc_ref[...] / l
+        # fully-masked padding rows (ctx == 0) must produce zeros
+        out = jnp.where(ctx > 0, out, 0.0)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "scale", "interpret")
+    jax.jit, static_argnames=("block_size", "scale", "interpret", "max_pages_per_chunk")
 )
 def paged_decode_attention_v2(
     q: jnp.ndarray,  # [B, nh, hd]
@@ -339,6 +412,7 @@ def paged_decode_attention_v2(
     scale: float,
     interpret: bool = False,
     kv_scales=None,
+    max_pages_per_chunk: int | None = None,  # test hook / tuning knob
 ) -> jnp.ndarray:
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -346,14 +420,22 @@ def paged_decode_attention_v2(
     w = block_tables.shape[1]
     group = nh // nkv
     num_blocks = s // block_size
-    span = w * block_size
     kp = k_pool.reshape(num_blocks, block_size, f)
     vp = v_pool.reshape(num_blocks, block_size, f)
     quantized = kv_scales is not None
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
+    # chunk size: stay within ~4 MiB of double-buffered K+V VMEM
+    budget = 4 * 1024 * 1024
+    bytes_per_page = block_size * f * k_pool.dtype.itemsize * 2 * 2  # K+V, 2 slots
+    ppc = max(1, min(w, budget // max(bytes_per_page, 1)))
+    if max_pages_per_chunk is not None:
+        ppc = max(1, min(ppc, max_pages_per_chunk))
+    num_chunks = -(-w // ppc)
+    span = ppc * block_size
+
     in_specs = [
-        pl.BlockSpec((1, nh, hd), lambda i, bt, ctx: (i, 0, 0)),
+        pl.BlockSpec((1, nh, hd), lambda i, c, bt, ctx: (i, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -363,22 +445,22 @@ def paged_decode_attention_v2(
         pltpu.VMEM((2, span, f), v_pool.dtype),
     ]
     if quantized:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
-        operands += [
-            kv_scales[0].reshape(num_blocks, block_size, nkv),
-            kv_scales[1].reshape(num_blocks, block_size, nkv),
-        ]
-        scratch += [
-            pltpu.VMEM((2, span, nkv), jnp.float32),
-            pltpu.VMEM((2, span, nkv), jnp.float32),
-        ]
-    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)))
+        scale_lanes = kv_scales.shape[1]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+        operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
+        scratch += [pltpu.VMEM((2, span, scale_lanes), kv_scales.dtype)]
+    scratch += [
+        pltpu.VMEM((nh, 128), jnp.float32),  # m
+        pltpu.VMEM((nh, 128), jnp.float32),  # l
+        pltpu.VMEM((nh, hd), jnp.float32),  # acc
+        pltpu.SemaphoreType.DMA((2, 3 if quantized else 2)),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b, num_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nh, hd), lambda i, bt, ctx: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, nh, hd), lambda i, c, bt, ctx: (i, 0, 0)),
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
@@ -388,7 +470,8 @@ def paged_decode_attention_v2(
         num_kv_heads=nkv,
         group=group,
         head_dim=hd,
-        num_pages=w,
+        pages_per_chunk=ppc,
+        num_table_pages=w,
         quantized=quantized,
     )
     return pl.pallas_call(

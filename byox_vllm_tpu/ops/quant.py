@@ -85,12 +85,14 @@ def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, 
         w = wq_ref[...].astype(jnp.float32)  # [gpt*gsize, TM]
         w = w.reshape(groups_per_tile, group_size, tm)
     else:
-        raw = wq_ref[...].astype(jnp.int32)
-        byte = jnp.where(raw < 0, raw + 256, raw).astype(jnp.float32)  # int8 -> uint8
+        # integer nibble unpack: & / >> are single VPU ops, vs the float
+        # mod/floor-division path (div+floor+mul+sub each) — the dequant is
+        # the kernel's VPU bottleneck, the MXU/DMA can't hide it at 8B scale
+        byte = jnp.bitwise_and(wq_ref[...].astype(jnp.int32), 255)  # int8 bits -> 0..255
         grouped = byte.reshape(groups_per_tile, group_size // 2, tm)
-        lo = jnp.mod(grouped, 16.0) - 8.0
-        hi = jnp.floor(grouped / 16.0) - 8.0
-        w = jnp.concatenate([lo, hi], axis=1)  # [gpt, gsize, TM]
+        lo = jnp.bitwise_and(grouped, 15) - 8
+        hi = jax.lax.shift_right_logical(grouped, 4) - 8
+        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [gpt, gsize, TM]
     # scale rows for this k-tile's groups arrive pre-blocked [gpt, TM]
     # (blocking them via the grid keeps Mosaic slices statically aligned;
     # an in-kernel pl.ds at k*gpt fails to compile when gpt % 8 != 0)

@@ -9,27 +9,34 @@ from byox_vllm_tpu.ops.kv_cache import gather_kv_quant, write_kv, write_kv_quant
 
 
 def test_quant_write_gather_roundtrip():
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+
     rng = np.random.default_rng(0)
     nkv, hd, S = 2, 16, 64
     k_new = jnp.asarray(rng.normal(0, 2.0, (5, nkv, hd)), jnp.float32)
     v_new = jnp.asarray(rng.normal(0, 0.5, (5, nkv, hd)), jnp.float32)
     kp = jnp.zeros((S, nkv * hd), jnp.int8)
     vp = jnp.zeros((S, nkv * hd), jnp.int8)
-    ks = jnp.zeros((S, nkv), jnp.float32)
-    vs = jnp.zeros((S, nkv), jnp.float32)
+    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
     slots = jnp.asarray([0, 1, 2, 3, -1], jnp.int32)  # last row dropped
-    kp, vp, ks, vs = write_kv_quant(kp, vp, ks, vs, k_new, v_new, slots)
+    kp, vp, sc = write_kv_quant(kp, vp, sc, k_new, v_new, slots)
 
     tables = jnp.asarray([[0]], jnp.int32)  # block 0 -> slots 0..63 (bs=64)
-    out = gather_kv_quant(kp, ks, tables, 64, hd)
+    out = gather_kv_quant(kp, sc, 0, tables, 64, hd)
     ref = np.asarray(k_new[:4])
     got = np.asarray(out[0, :4])
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2 * np.abs(ref).max())
     assert np.abs(np.asarray(out[0, 4:])).max() == 0  # dropped + unwritten rows zero
+    out_v = gather_kv_quant(vp, sc, nkv, tables, 64, hd)
+    ref_v = np.asarray(v_new[:4])
+    np.testing.assert_allclose(
+        np.asarray(out_v[0, :4]), ref_v, rtol=2e-2, atol=2e-2 * np.abs(ref_v).max()
+    )
 
 
 def test_paged_kernel_int8_matches_dense():
     from byox_vllm_tpu.ops.attention import paged_attention_dense
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
     from byox_vllm_tpu.ops.paged_attention import paged_decode_attention
 
     rng = np.random.default_rng(1)
@@ -38,8 +45,7 @@ def test_paged_kernel_int8_matches_dense():
     S = 16 * bs
     kp = jnp.zeros((S, nkv * hd), jnp.int8)
     vp = jnp.zeros((S, nkv * hd), jnp.int8)
-    ks = jnp.zeros((S, nkv), jnp.float32)
-    vs = jnp.zeros((S, nkv), jnp.float32)
+    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
     tables = np.full((b, w), -1, np.int32)
     nxt = 0
     for i, c in enumerate(ctx):
@@ -52,18 +58,18 @@ def test_paged_kernel_int8_matches_dense():
             nxt += 1
         rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
         rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
-        kp, vp, ks, vs = write_kv_quant(kp, vp, ks, vs, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+        kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
     tables = jnp.asarray(tables)
     ctx_a = jnp.asarray(ctx, jnp.int32)
     q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
     scale = hd**-0.5
 
     ref = paged_attention_dense(
-        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=(ks, vs)
+        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=sc
     )
     out = paged_decode_attention(
         q[:, 0], kp, vp, tables, ctx_a, block_size=bs, scale=scale,
-        interpret=True, kv_scales=(ks, vs),
+        interpret=True, kv_scales=sc,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]), rtol=1e-4, atol=1e-4)
 

@@ -102,18 +102,13 @@ def test_kernel_v2_matches_dense(ctx_lens):
     assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0
 
 
-def test_kernel_v2_int8_matches_dense():
-    from byox_vllm_tpu.ops.kv_cache import write_kv_quant
-    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+def make_int8_case(rng, b, nh, nkv, hd, bs, w, ctx):
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
 
-    rng = np.random.default_rng(1)
-    b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 3
-    ctx = [20, 37]
     S = 16 * bs
     kp = jnp.zeros((S, nkv * hd), jnp.int8)
     vp = jnp.zeros((S, nkv * hd), jnp.int8)
-    ks = jnp.zeros((S, nkv), jnp.float32)
-    vs = jnp.zeros((S, nkv), jnp.float32)
+    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
     tables = np.full((b, w), -1, np.int32)
     nxt = 0
     for i, c in enumerate(ctx):
@@ -126,16 +121,63 @@ def test_kernel_v2_int8_matches_dense():
             nxt += 1
         rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
         rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
-        kp, vp, ks, vs = write_kv_quant(kp, vp, ks, vs, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
-    tables = jnp.asarray(tables)
-    ctx_a = jnp.asarray(ctx, jnp.int32)
+        kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+    return kp, vp, sc, jnp.asarray(tables), jnp.asarray(ctx, jnp.int32)
+
+
+@pytest.mark.parametrize("ppc", [None, 2])
+def test_kernel_v2_int8_matches_dense(ppc):
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+
+    rng = np.random.default_rng(1)
+    b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 3
+    kp, vp, sc, tables, ctx_a = make_int8_case(rng, b, nh, nkv, hd, bs, w, [20, 37])
     q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
     scale = hd**-0.5
     ref = paged_attention_dense(
-        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=(ks, vs)
+        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=sc
     )
     out = paged_decode_attention_v2(
         q[:, 0], kp, vp, tables, ctx_a, block_size=bs, scale=scale,
-        interpret=True, kv_scales=(ks, vs),
+        interpret=True, kv_scales=sc, max_pages_per_chunk=ppc,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_v1_int8_matches_dense():
+    rng = np.random.default_rng(1)
+    b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 3
+    kp, vp, sc, tables, ctx_a = make_int8_case(rng, b, nh, nkv, hd, bs, w, [20, 37])
+    q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
+    scale = hd**-0.5
+    ref = paged_attention_dense(
+        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=sc
+    )
+    out = paged_decode_attention(
+        q[:, 0], kp, vp, tables, ctx_a, block_size=bs, scale=scale,
+        interpret=True, kv_scales=sc,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ppc", [1, 2, 3])
+def test_kernel_v2_multichunk_matches_dense(ppc):
+    """Online softmax across chunks (long-context path) matches dense."""
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+
+    rng = np.random.default_rng(2)
+    ctx_lens = [60, 17, 0, 33]
+    b, nh, nkv, hd, bs = len(ctx_lens), 8, 4, 128, 16
+    w = 4
+    q, kp, vp, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    scale = hd**-0.5
+    ref = paged_attention_dense(q, kp, vp, tables, ctx, (ctx - 1)[:, None], bs, scale)
+    out = paged_decode_attention_v2(
+        q[:, 0], kp, vp, tables, ctx, block_size=bs, scale=scale,
+        interpret=True, max_pages_per_chunk=ppc,
+    )
+    valid = np.asarray(ctx) > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=1e-5, atol=1e-5
+    )
+    assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0

@@ -4,7 +4,7 @@ Each variant compiles a K-iteration scan like the engine's _multi_decode_step
 and is timed over fresh inputs (the tunnel caches identical dispatches, so
 token ids vary per call). With K large, wall ~= device time.
 
-Variants: full | noattn | nokv | nohead | v2 | dense | nosample
+Variants: full | noattn | nokv | nohead | v1 | dense | nosample
 """
 
 import argparse
@@ -27,7 +27,7 @@ from bench import QWEN3_0_6B, QWEN3_8B
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("variants", nargs="*", default=["full", "noattn", "nokv", "nohead", "v2", "dense"])
+    ap.add_argument("variants", nargs="*", default=["full", "noattn", "nokv", "nohead", "v1", "dense"])
     ap.add_argument("--model", default="0.6b")
     ap.add_argument("--quant", default="none")
     ap.add_argument("--kv", default="auto")
@@ -53,7 +53,24 @@ def main():
     B, CTX, K, BS = args.batch, args.ctx, args.steps, args.block
     pages = -(-(CTX + K) // BS)
     num_slots = B * pages * BS
-    params = init_params(spec, jnp.bfloat16, seed=0)
+    # the quantized random init costs ~25 min of host numpy at 8B scale:
+    # cache the built tree on disk keyed by (model, quant)
+    import pickle
+
+    cache = f"/tmp/ablate_params_{args.model}_{args.quant}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            host_tree = pickle.load(fh)
+        params = jax.tree.map(jnp.asarray, host_tree)
+    else:
+        params = init_params(spec, jnp.bfloat16, seed=0)
+        host_tree = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
+        with open(cache, "wb") as fh:
+            pickle.dump(host_tree, fh, protocol=4)
+    # quantized init generates embed/lm_head on the CPU *device* (committed):
+    # left there, every jitted call re-transfers them through the tunnel
+    # (~2 GB/call — measured 1.8 s/step of pure transfer). Pin to the chip.
+    params = jax.device_put(params, jax.devices()[0])
     kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
     kv = make_kv_cache(spec, num_slots, kv_dtype)
     tables = jnp.asarray(
@@ -66,8 +83,8 @@ def main():
 
     def make_step(variant):
         attn_backend = "auto"
-        if variant == "v2":
-            os.environ["BYOX_DECODE_KERNEL"] = "v2"
+        if variant == "v1":
+            os.environ["BYOX_DECODE_KERNEL"] = "v1"
         else:
             os.environ.pop("BYOX_DECODE_KERNEL", None)
         if variant == "dense":
@@ -115,7 +132,7 @@ def main():
             orig_write = q3.write_kv
             orig_write_q = q3.write_kv_quant
             q3.write_kv = lambda kp, vp, k, v, s: (kp, vp)
-            q3.write_kv_quant = lambda kp, vp, ks, vs, k, v, s: (kp, vp, ks, vs)
+            q3.write_kv_quant = lambda kp, vp, sc, k, v, s: (kp, vp, sc)
         step = make_step(variant)
         toks = jnp.asarray(np.random.randint(0, 1000, B).astype(np.int32))
         out, kv = step(params, toks, kv)

@@ -1,0 +1,114 @@
+"""Microbench the paged decode attention kernels in isolation.
+
+Times a K-iteration in-jit scan over the kernel (fresh query each iter via
+fold_in-style perturbation) so tunnel dispatch overhead is amortized; with K
+large, wall ~= device time. Reports ms/call and effective HBM bandwidth
+(KV bytes actually in-context / time) vs the chip's ~819 GB/s (v5e).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/byox_vllm_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="*", default=["v1", "v2"])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--ctx", type=int, default=150)
+    ap.add_argument("--block", type=int, default=64)
+    ap.add_argument("--nh", type=int, default=16)
+    ap.add_argument("--nkv", type=int, default=8)
+    ap.add_argument("--hd", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
+    args = ap.parse_args()
+
+    from byox_vllm_tpu.ops.paged_attention import (
+        paged_decode_attention,
+        paged_decode_attention_v2,
+    )
+
+    B, CTX, BS, NH, NKV, HD = args.batch, args.ctx, args.block, args.nh, args.nkv, args.hd
+    W = -(-CTX // BS)
+    F = NKV * HD
+    num_slots = B * W * BS
+    rng = np.random.default_rng(0)
+    kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
+    if args.kv == "int8":
+        from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+
+        kp = jnp.asarray(rng.integers(-127, 127, (num_slots, F), dtype=np.int8))
+        vp = jnp.asarray(rng.integers(-127, 127, (num_slots, F), dtype=np.int8))
+        sc = np.zeros((num_slots, SCALE_LANES), np.float32)
+        sc[:, : 2 * NKV] = rng.random((num_slots, 2 * NKV), dtype=np.float32) * 0.01
+        scales = jnp.asarray(sc).astype(jnp.bfloat16)
+    else:
+        kp = jnp.asarray(rng.standard_normal((num_slots, F)).astype(np.float32)).astype(kv_dtype)
+        vp = jnp.asarray(rng.standard_normal((num_slots, F)).astype(np.float32)).astype(kv_dtype)
+        scales = None
+    # shuffled page assignment (realistic non-contiguous tables)
+    perm = rng.permutation(B * W).astype(np.int32)
+    tables = jnp.asarray(perm.reshape(B, W))
+    ctx_lens = jnp.asarray(
+        rng.integers(max(1, CTX - 30), CTX + 1, B).astype(np.int32)
+    )
+    q0 = jnp.asarray(rng.standard_normal((B, NH, HD)).astype(np.float32)).astype(jnp.bfloat16)
+    scale = HD ** -0.5
+
+    fns = {"v1": paged_decode_attention, "v2": paged_decode_attention_v2}
+
+    kv_bytes = (
+        int(np.sum(np.asarray(ctx_lens)))
+        * F
+        * 2
+        * (1 if args.kv == "int8" else 2)
+    )
+
+    for name in args.variants:
+        fn = fns[name]
+
+        # pools threaded as args, NOT closure constants: closure capture
+        # embeds them in the compile request (HTTP 413 past ~100 MB) and
+        # bloats every cache entry
+        def run(q, kp, vp, tables, ctx_lens, scales, it):
+            def body(carry, i):
+                q = carry
+                o = fn(
+                    q, kp, vp, tables, ctx_lens,
+                    block_size=BS, scale=scale, kv_scales=scales,
+                )
+                return o, ()
+            out, _ = jax.lax.scan(body, q, jnp.arange(it))
+            return out
+
+        jitted = jax.jit(run, static_argnums=(6,))
+        out = jitted(q0, kp, vp, tables, ctx_lens, scales, args.iters)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = jitted(q0, kp, vp, tables, ctx_lens, scales, args.iters)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        dt = min(times) / args.iters
+        bw = kv_bytes / dt / 1e9
+        print(
+            f"{name}: {dt * 1e6:8.1f} us/call  KV {kv_bytes / 1e6:.1f} MB"
+            f"  -> {bw:6.1f} GB/s effective",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,7 +148,7 @@ def main():
     ctx = jnp.full((B,), CTX, jnp.int32)
     pos = jnp.full((B, 1), CTX - 1, jnp.int32)
     bt = jnp.asarray(padded.block_tables)
-    kv_scales = (lay[2], lay[3]) if len(lay) == 4 else None
+    kv_scales = lay[2] if len(lay) == 3 else None
     att = jax.jit(lambda q, k, v, sc: paged_attention(
         q, k, v, bt, ctx, pos, bs, spec.head_dim ** -0.5, kv_scales=sc))
     r = att(q, lay[0], lay[1], kv_scales); jax.block_until_ready(r)
