@@ -2,20 +2,23 @@
 dequantize-matmul Pallas kernel.
 
 No reference implementation exists to mirror (the north star adds this): the
-design is TPU-first. Weights are stored as int8 — or two int4 nibbles per
-byte — with symmetric per-(input-group, output-column) scales. The Pallas
-kernel streams quantized tiles from HBM, dequantizes in VMEM, and feeds the
-MXU in bf16: decode-time weight traffic drops 2x/4x, the roofline term for
-small-batch serving.
+design is TPU-first. Weights are stored as int8, or as int4 nibble-PAIRS in
+an int8 carrier array: byte row r packs rows 2r (low nibble) and 2r+1 (high
+nibble) in two's complement, which is exactly the in-memory layout of a
+native int4 array — the kernel reinterprets the tile with a free
+``pltpu.bitcast`` to int4 and lets the hardware unpack on the ``astype``,
+so dequantization costs ~2 VPU passes (convert + scale) per tile.
 
-INT4 packing is *group-local split-half*: within each group of G input rows,
-byte r holds row r (low nibble) and row r + G/2 (high nibble). Each k-tile
-(= one group) is therefore self-contained in the packed array, and in-kernel
-unpacking is two vector ops plus a sublane concat.
+Why the int8 carrier instead of a jnp.int4 array: device_put of sub-byte
+dtypes recurses infinitely on the axon platform (device_put is itself
+implemented as a jit there), so int4 arrays cannot cross a jit argument
+boundary; int8 arrays can, and the bitcast inside the kernel is free.
 
-A quantized weight is the plain pytree {"q": int8, "s": f32}; the bit width
-is static model metadata (config.quantization), threaded as a Python int —
-never a pytree leaf.
+Scales are symmetric per-(input-group, output-column). A quantized weight is
+the plain pytree {"q": int8, "s": f32}; the bit width is static model
+metadata (config.quantization), threaded as a Python int — never a pytree
+leaf. The packed int8 layout doubles as the disk format (safetensors has no
+int4).
 """
 
 import functools
@@ -42,6 +45,28 @@ def pick_group(k: int, bits: int) -> int:
     return g
 
 
+def pack_int4(q) -> np.ndarray:
+    """int4-range values [..., K, M] -> int8 [..., K/2, M]: byte row r holds
+    row 2r in the low nibble, row 2r+1 in the high nibble, two's complement
+    (the memory layout of a native int4 array, so an in-kernel bitcast
+    reinterprets it for free)."""
+    q = np.asarray(q).astype(np.int8)
+    *lead, k, m = q.shape
+    assert k % 2 == 0
+    lo = (q[..., 0::2, :] & 15).astype(np.uint8)
+    hi = (q[..., 1::2, :] & 15).astype(np.uint8)
+    return (lo | (hi << 4)).astype(np.int8)
+
+
+def unpack_int4_np(packed) -> np.ndarray:
+    """int8 carrier [..., K/2, M] -> int8 values [..., K, M] (host-side)."""
+    b = np.asarray(packed).astype(np.int8)
+    lo = np.left_shift(b, 4).astype(np.int8) >> 4  # sign-extended low nibble
+    hi = b >> 4  # arithmetic shift: sign-extended high nibble
+    *lead, kh, m = b.shape
+    return np.stack([lo, hi], axis=-2).reshape(*lead, kh * 2, m)
+
+
 def quantize_weight(w, bits: int = 8, group: int | None = None):
     """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}."""
     w = np.asarray(w).astype(np.float32)  # host-side; never lands on the accelerator
@@ -53,26 +78,27 @@ def quantize_weight(w, bits: int = 8, group: int | None = None):
     scales = np.abs(grouped).max(axis=-2) / qmax  # [..., K/G, M]
     scales = np.maximum(scales, 1e-8)
     q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
-    if bits == 8:
-        packed = q.reshape(*lead, k, m).astype(np.int8)
-    else:
-        half = g // 2
-        lo = (q[..., :half, :].astype(np.int8) + 8).astype(np.uint8)
-        hi = (q[..., half:, :].astype(np.int8) + 8).astype(np.uint8)
-        packed = (lo | (hi << 4)).reshape(*lead, k // 2, m).astype(np.int8)
-    return {"q": jnp.asarray(packed), "s": jnp.asarray(scales, dtype=jnp.float32)}
+    q = q.reshape(*lead, k, m).astype(np.int8)
+    if bits == 4:
+        q = pack_int4(q)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scales, dtype=jnp.float32)}
 
 
-def _unpack_int4_tile(byte_f32):
-    """packed tile [TK/2, TM] of uint8-valued floats -> [TK, TM] centered
-    int4 values. TK/2 rows hold one group's low/high nibbles (group-local
-    split-half), so a plain sublane concat restores row order."""
-    lo = jnp.mod(byte_f32, 16.0) - 8.0
-    hi = jnp.floor(byte_f32 / 16.0) - 8.0
-    return jnp.concatenate([lo, hi], axis=0)
+def _unpack_tile(raw, bits: int, interpret: bool):
+    """Packed tile [TK/2, TM] int8 -> [TK, TM] f32 int4 values (row-pair
+    interleave). On hardware: free bitcast + hardware nibble unpack."""
+    if not interpret:
+        return pltpu.bitcast(raw, jnp.int4).astype(jnp.float32)
+    b = raw.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, 24), 28)
+    kh, tm = raw.shape
+    return jnp.stack([lo, hi], axis=1).reshape(kh * 2, tm).astype(jnp.float32)
 
 
-def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, group_size, out_dtype):
+def _qmm_kernel(
+    x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, group_size, out_dtype, interpret
+):
     k = pl.program_id(1)
     num_k = pl.num_programs(1)
     tm = wq_ref.shape[-1]
@@ -83,16 +109,9 @@ def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, 
 
     if bits == 8:
         w = wq_ref[...].astype(jnp.float32)  # [gpt*gsize, TM]
-        w = w.reshape(groups_per_tile, group_size, tm)
     else:
-        # integer nibble unpack: & / >> are single VPU ops, vs the float
-        # mod/floor-division path (div+floor+mul+sub each) — the dequant is
-        # the kernel's VPU bottleneck, the MXU/DMA can't hide it at 8B scale
-        byte = jnp.bitwise_and(wq_ref[...].astype(jnp.int32), 255)  # int8 bits -> 0..255
-        grouped = byte.reshape(groups_per_tile, group_size // 2, tm)
-        lo = jnp.bitwise_and(grouped, 15) - 8
-        hi = jax.lax.shift_right_logical(grouped, 4) - 8
-        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [gpt, gsize, TM]
+        w = _unpack_tile(wq_ref[...], bits, interpret)
+    w = w.reshape(groups_per_tile, group_size, tm)
     # scale rows for this k-tile's groups arrive pre-blocked [gpt, TM]
     # (blocking them via the grid keeps Mosaic slices statically aligned;
     # an in-kernel pl.ds at k*gpt fails to compile when gpt % 8 != 0)
@@ -110,13 +129,13 @@ def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, 
 @functools.partial(jax.jit, static_argnames=("bits", "interpret", "tile_m", "tile_k"))
 def quant_matmul_pallas(
     x: jnp.ndarray,  # [N, K]
-    wq: jnp.ndarray,  # [K, M] int8 or [K/2, M] group-local-packed int4
+    wq: jnp.ndarray,  # [K, M] int8 or [K/2, M] nibble-packed int4
     scales: jnp.ndarray,  # [K/G, M] f32
     *,
     bits: int,
     interpret: bool = False,
-    tile_m: int = 512,
-    tile_k: int = 1024,
+    tile_m: int = 1024,  # measured best at 8B shapes (fewer grid steps)
+    tile_k: int = 2048,
 ) -> jnp.ndarray:
     n, k = x.shape
     m = wq.shape[-1]
@@ -151,7 +170,8 @@ def quant_matmul_pallas(
 
     return pl.pallas_call(
         functools.partial(
-            _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize, out_dtype=x.dtype
+            _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize,
+            out_dtype=x.dtype, interpret=interpret,
         ),
         grid=(num_m, num_k),
         in_specs=[
@@ -171,16 +191,15 @@ def dequantize(wq: jnp.ndarray, scales: jnp.ndarray, bits: int, dtype=jnp.bfloat
     groups, m = scales.shape[-2], scales.shape[-1]
     if bits == 8:
         k = wq.shape[-2]
-        q = wq.astype(jnp.float32).reshape(*wq.shape[:-2], groups, k // groups, m)
+        q = wq.astype(jnp.float32)
     else:
-        raw = wq.astype(jnp.int32)
-        byte = jnp.where(raw < 0, raw + 256, raw)
-        half = wq.shape[-2] // groups  # packed rows per group = G/2
-        grouped = byte.reshape(*wq.shape[:-2], groups, half, m)
-        lo = (grouped % 16).astype(jnp.float32) - 8.0
-        hi = (grouped // 16).astype(jnp.float32) - 8.0
-        q = jnp.concatenate([lo, hi], axis=-2)
-        k = q.shape[-3] * q.shape[-2]
+        b = wq.astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, 28), 28)
+        hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, 24), 28)
+        kh = wq.shape[-2]
+        k = kh * 2
+        q = jnp.stack([lo, hi], axis=-2).reshape(*wq.shape[:-2], k, m).astype(jnp.float32)
+    q = q.reshape(*wq.shape[:-2], groups, k // groups, m)
     scaled = q * scales[..., :, None, :]
     return scaled.reshape(*wq.shape[:-2], k, m).astype(dtype)
 

@@ -58,6 +58,7 @@ def quantize_checkpoint(model_dir: str, out_dir: str, bits: int, dtype: str = "b
     params = model_cls.load_params(model_dir, spec, jnp.dtype(dtype))
 
     os.makedirs(out_dir, exist_ok=True)
+    # int4 weights are already nibble-packed int8 in memory: disk == memory
     flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
     save_file(flat, os.path.join(out_dir, QUANT_FILE))
     meta = {

@@ -64,6 +64,17 @@ def test_pick_group():
     assert pick_group(64, 4) == 64
 
 
+def test_int4_pack_roundtrip():
+    """Row-pair two's-complement nibble packing <-> int4 values."""
+    from byox_vllm_tpu.ops.quant import pack_int4, unpack_int4_np
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(-8, 8, (3, 64, 128), dtype=np.int8)
+    packed = pack_int4(q)
+    assert packed.shape == (3, 32, 128) and packed.dtype == np.int8
+    np.testing.assert_array_equal(unpack_int4_np(packed), q)
+
+
 def _tiny_spec(quant_bits=None):
     from byox_vllm_tpu.models.qwen3 import Qwen3Spec
 
@@ -141,11 +152,11 @@ def test_engine_e2e_quantized(quant, tmp_path):
         assert quant_out[0]["token_ids"] == plain[0]["token_ids"]
 
 
-def test_offline_quantize_roundtrip(tmp_path):
+@pytest.mark.parametrize("bits", [8, 4])
+def test_offline_quantize_roundtrip(tmp_path, bits):
     """Offline pre-quantization pass: quantize a checkpoint to disk, reload
-    through the engine, outputs match online quantization exactly."""
-    import pytest
-
+    through the engine, outputs match online quantization exactly (int4
+    additionally exercises the native-int4 <-> packed-uint8 disk format)."""
     torch = pytest.importorskip("torch")
     from transformers import Qwen3Config, Qwen3ForCausalLM
 
@@ -163,7 +174,7 @@ def test_offline_quantize_roundtrip(tmp_path):
     src = tmp_path / "src"
     Qwen3ForCausalLM(cfg).eval().save_pretrained(src, safe_serialization=True)
     packed = tmp_path / "packed"
-    quantize_checkpoint(str(src), str(packed), bits=8, dtype="float32")
+    quantize_checkpoint(str(src), str(packed), bits=bits, dtype="float32")
 
     common = dict(
         dtype="float32", max_model_len=128, max_num_batched_tokens=128,
@@ -171,6 +182,7 @@ def test_offline_quantize_roundtrip(tmp_path):
     )
     prompts = [[1, 2, 3, 4, 5, 6]]
     sp = SamplingParams(temperature=0.0, max_tokens=10)
-    online = LLM(str(src), quantization="int8", **common).generate(prompts, sp, use_tqdm=False)
+    quant = {8: "int8", 4: "int4"}[bits]
+    online = LLM(str(src), quantization=quant, **common).generate(prompts, sp, use_tqdm=False)
     offline = LLM(str(packed), **common).generate(prompts, sp, use_tqdm=False)
     assert online[0]["token_ids"] == offline[0]["token_ids"]

@@ -1,9 +1,13 @@
 """Microbench the paged decode attention kernels in isolation.
 
-Times a K-iteration in-jit scan over the kernel (fresh query each iter via
-fold_in-style perturbation) so tunnel dispatch overhead is amortized; with K
-large, wall ~= device time. Reports ms/call and effective HBM bandwidth
-(KV bytes actually in-context / time) vs the chip's ~819 GB/s (v5e).
+Methodology (the axon tunnel makes naive timing lie twice over):
+- the tunnel caches identical dispatches -> inputs must vary per call
+- block_until_ready returns before device completion -> only jax.device_get
+  is a true sync; the ~49 ms tunnel RTT then dominates any single call
+So: run the kernel in an in-jit scan at two iteration counts and report the
+MARGINAL time per iteration, (T(hi) - T(lo)) / (hi - lo), with device_get
+and varied inputs. Reports us/iter and effective HBM bandwidth (KV bytes
+actually in-context / time) vs the chip's ~819 GB/s (v5e).
 """
 
 import argparse
@@ -93,18 +97,23 @@ def main():
             return out
 
         jitted = jax.jit(run, static_argnums=(6,))
-        out = jitted(q0, kp, vp, tables, ctx_lens, scales, args.iters)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(3):
+        lo, hi = args.iters, args.iters * 8
+        for it in (lo, hi):  # compile both
+            _ = jax.device_get(jitted(q0, kp, vp, tables, ctx_lens, scales, it))
+
+        def timed(it, i):
+            qi = q0 * (1.0 + jnp.float32(0.001 * (i + 1)).astype(q0.dtype))
+            _ = jax.device_get(qi)
             t0 = time.perf_counter()
-            out = jitted(q0, kp, vp, tables, ctx_lens, scales, args.iters)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        dt = min(times) / args.iters
+            _ = jax.device_get(jitted(qi, kp, vp, tables, ctx_lens, scales, it))
+            return time.perf_counter() - t0
+
+        t_lo = min(timed(lo, i) for i in range(3))
+        t_hi = min(timed(hi, i + 3) for i in range(3))
+        dt = (t_hi - t_lo) / (hi - lo)
         bw = kv_bytes / dt / 1e9
         print(
-            f"{name}: {dt * 1e6:8.1f} us/call  KV {kv_bytes / 1e6:.1f} MB"
+            f"{name}: {dt * 1e6:8.1f} us/iter (marginal)  KV {kv_bytes / 1e6:.1f} MB"
             f"  -> {bw:6.1f} GB/s effective",
             flush=True,
         )

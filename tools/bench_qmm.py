@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--k", type=int, default=4096)
     ap.add_argument("--m", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--tile-m", type=int, default=512)
+    ap.add_argument("--tile-k", type=int, default=1024)
     args = ap.parse_args()
 
     from byox_vllm_tpu.ops.quant import quant_matmul_pallas, quantize_weight
@@ -37,45 +39,77 @@ def main():
     x = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32)).astype(jnp.bfloat16)
     w = rng.standard_normal((K, M)).astype(np.float32) * 0.02
 
-    def bench(name, fn, weight_bytes, *operands):
-        def run(x, it):
+    def bench(name, fn, weight_bytes, *operand_sets):
+        # weights threaded as jit args (closure capture would embed them as
+        # HLO constants) and CYCLED across >VMEM-size distinct copies inside
+        # the loop body: a single loop-invariant weight gets hoisted into the
+        # 128 MB VMEM by XLA and the "HBM streaming" rate comes out above
+        # HBM peak. Each scan iteration runs one matmul per copy.
+        n_sets = len(operand_sets)
+        flat = [a for ops in operand_sets for a in ops]
+
+        def run(x, *ops_flat, it):
+            per = len(ops_flat) // n_sets
+            sets = [ops_flat[i * per : (i + 1) * per] for i in range(n_sets)]
+
             def body(carry, _):
-                o = fn(carry, *operands)
-                # feed a slice back so iterations chain (defeats CSE)
-                return carry + o[:, :K].astype(carry.dtype) * 0, ()
+                for ops in sets:
+                    carry = fn(carry, *ops)[:, :K].astype(carry.dtype)
+                return carry, ()
             out, _ = jax.lax.scan(body, x, jnp.arange(it))
             return out
 
-        jitted = jax.jit(run, static_argnums=(1,))
-        out = jitted(x, args.iters)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(3):
+        # marginal-iters timing: the tunnel caches identical dispatches and
+        # block_until_ready does not actually block -> vary inputs, sync via
+        # device_get, and subtract out the ~49 ms RTT via two iter counts
+        jitted = jax.jit(run, static_argnames=("it",))
+        lo, hi = args.iters, args.iters * 8
+        for it in (lo, hi):
+            _ = jax.device_get(jitted(x, *flat, it=it))
+
+        def timed(it, i):
+            xi = x * (1.0 + jnp.float32(0.001 * (i + 1)).astype(x.dtype))
+            _ = jax.device_get(xi)
             t0 = time.perf_counter()
-            out = jitted(x, args.iters)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        dt = min(times) / args.iters
+            _ = jax.device_get(jitted(xi, *flat, it=it))
+            return time.perf_counter() - t0
+
+        t_lo = min(timed(lo, i) for i in range(3))
+        t_hi = min(timed(hi, i + 3) for i in range(3))
+        dt = (t_hi - t_lo) / ((hi - lo) * n_sets)
         print(
             f"{name}: {dt * 1e6:8.1f} us/call  {weight_bytes / 1e6:7.1f} MB"
             f"  -> {weight_bytes / dt / 1e9:6.1f} GB/s effective",
             flush=True,
         )
 
+    target_bytes = 300e6  # enough distinct copies to defeat VMEM residency
     for v in args.variants:
         if v == "bf16":
-            wd = jnp.asarray(w).astype(jnp.bfloat16)
-            bench("bf16", lambda a, wd: a @ wd, K * M * 2, wd)
+            wb = K * M * 2
+            n_sets = max(1, int(target_bytes // wb))
+            sets = [
+                (jnp.asarray(w * (1 + 0.001 * i)).astype(jnp.bfloat16),)
+                for i in range(n_sets)
+            ]
+            bench("bf16", lambda a, wd: a @ wd, wb, *sets)
         else:
             bits = {"int8": 8, "int4": 4}[v]
-            q = quantize_weight(w, bits=bits)
-            wb = K * M * (1 if bits == 8 else 0.5)
+            wb = int(K * M * (1 if bits == 8 else 0.5))
+            n_sets = max(1, int(target_bytes // wb))
+            # distinct copies built by re-quantizing perturbed weights:
+            # eager int4 arithmetic and int4 device_get are both broken on
+            # the axon platform, so stay on the host until quantize_weight
+            sets = []
+            for i in range(n_sets):
+                qi = quantize_weight(w * (1 + 0.003 * i), bits=bits)
+                sets.append((qi["q"], qi["s"]))
             bench(
                 v,
-                lambda a, qq, ss, bits=bits: quant_matmul_pallas(a, qq, ss, bits=bits),
+                lambda a, qq, ss, bits=bits: quant_matmul_pallas(
+                    a, qq, ss, bits=bits, tile_m=args.tile_m, tile_k=args.tile_k),
                 wb,
-                q["q"],
-                q["s"],
+                *sets,
             )
 
 
