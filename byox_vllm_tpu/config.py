@@ -40,6 +40,10 @@ class Config:
     quantization: str | None = None  # None | "int8" | "int4"
     attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
     num_decode_steps: int = 8  # decode iterations per device call (1 = step-per-call)
+    # async pipelined decode: dispatch window n+1 from window n's on-device
+    # tokens before fetching window n, hiding the host<->device round trip
+    # under device compute (the TPU analogue of vLLM's async scheduling)
+    async_decode: bool = True
     enable_chunked_prefill: bool = True  # split prompts longer than the token budget
     speculative_config: Any = None
     seed: int = 0

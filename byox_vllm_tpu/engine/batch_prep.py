@@ -63,7 +63,7 @@ def _sampling_seeds(seqs: list[Sequence]):
     if any(s.seed is not None for s in seqs):
         return (
             np.array([-1 if s.seed is None else s.seed for s in seqs], dtype=np.int32),
-            np.array([s.num_completion_tokens for s in seqs], dtype=np.int32),
+            np.array([s.num_completion_tokens + s.in_flight for s in seqs], dtype=np.int32),
         )
     return None, None
 
@@ -123,13 +123,16 @@ def prepare_decode(seqs: list[Sequence], block_size: int, lookahead: int = 1) ->
     token_ids = np.array([s.last_token for s in seqs], dtype=np.int32).reshape(n, 1)
     slots = np.empty((n, lookahead), dtype=np.int32)
     for i, s in enumerate(seqs):
-        positions = len(s) - 1 + np.arange(lookahead)
+        # in_flight > 0: a previous window's K tokens are still on the device
+        # (async pipelining) — this window starts after them; its first input
+        # token comes from the device-side carry, not host token_ids
+        positions = len(s) + s.in_flight - 1 + np.arange(lookahead)
         block_ids = np.asarray(s.block_table, dtype=np.int64)[positions // block_size]
         slots[i] = block_ids * block_size + positions % block_size
     return StepBatch(
         token_ids=token_ids,
         q_lens=np.ones(n, dtype=np.int32),
-        context_lens=np.array([len(s) for s in seqs], dtype=np.int32),
+        context_lens=np.array([len(s) + s.in_flight for s in seqs], dtype=np.int32),
         slot_mapping=slots,
         block_tables=_block_tables(seqs),
         temperatures=np.array([s.temperature for s in seqs], dtype=np.float32),

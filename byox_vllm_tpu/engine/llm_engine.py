@@ -63,6 +63,9 @@ class LLMEngine:
         self.scheduler = Scheduler(config, decode_lookahead=lookahead)
         self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
         self.metrics = EngineMetrics()
+        # async pipelined decode state: the window currently in flight —
+        # (PendingDecode, seqs list, zombie seqs awaiting deferred dealloc)
+        self._pending = None
 
     # -- request lifecycle ------------------------------------------------
 
@@ -83,8 +86,54 @@ class LLMEngine:
     def step(self) -> tuple[list[tuple[int, list[int]]], int]:
         """One scheduling+model step. Returns (finished outputs, num tokens
         processed: +N prefill tokens or -B decode batch size, mirroring the
-        reference's throughput accounting at llm_engine.py:95-100)."""
+        reference's throughput accounting at llm_engine.py:95-100).
+
+        With ``config.async_decode`` the decode path runs one window ahead of
+        the host: window n+1 is dispatched from window n's on-device tokens
+        BEFORE window n is fetched, so the host round trip hides under device
+        compute. A step then commits the PREVIOUS window's tokens. The
+        pipeline flushes before any prefill, on batch-composition changes,
+        and for speculative decoding."""
+        pipelining = self.config.async_decode and self.proposer is None
+        if self._pending is not None and self.scheduler.waiting:
+            # a prefill is (likely) imminent: flush so its scheduling sees
+            # confirmed state and freed blocks
+            return self._commit_pending()
         seqs, is_prefill = self.scheduler.schedule()
+        if pipelining and not is_prefill:
+            if not seqs:
+                if self._pending is not None:
+                    return self._commit_pending()
+                return [], 0
+            lookahead = self.scheduler.last_lookahead
+            pend = self._pending
+            if pend is None:
+                self._pending = (
+                    self.model_runner.dispatch_decode(seqs, lookahead),
+                    list(seqs),
+                    [],
+                )
+                for s in seqs:
+                    s.in_flight += lookahead
+                return [], 0
+            prev, prev_seqs, zombies = pend
+            if prev_seqs == seqs and prev.lookahead == lookahead:
+                nxt = self.model_runner.dispatch_decode(seqs, lookahead, carry=prev.tokens)
+                for s in seqs:
+                    s.in_flight += lookahead
+                self._pending = (nxt, list(seqs), [])
+                return self._commit_window(prev, prev_seqs, zombies, defer=set(seqs))
+            # composition changed (finishes last commit): discarding a decode
+            # schedule is side-effect-safe (may_append is idempotent), so
+            # flush and let the next step reschedule fresh
+            return self._commit_pending()
+        if self._pending is not None:
+            # prefill scheduled or pipelining disabled mid-run: the decode
+            # pipeline must drain first. A scheduled prefill cannot be
+            # discarded, so flush happens before schedule() above; reaching
+            # here means schedule() returned prefill with an empty waiting
+            # queue snapshot — impossible — or pipelining toggled. Flush.
+            return self._commit_pending()
         if not seqs:
             return [], 0
         prefill_tokens = sum(s.scheduled_chunk for s in seqs) if is_prefill else 0
@@ -117,7 +166,48 @@ class LLMEngine:
         return outputs, num_tokens
 
     def is_finished(self) -> bool:
-        return self.scheduler.is_finished()
+        return self.scheduler.is_finished() and self._pending is None
+
+    # -- async pipelined decode internals ----------------------------------
+
+    def _commit_pending(self) -> tuple[list, int]:
+        pend, seqs, zombies = self._pending
+        self._pending = None
+        return self._commit_window(pend, seqs, zombies, defer=None)
+
+    def _commit_window(self, pend, seqs, zombies, defer) -> tuple[list, int]:
+        """Fetch a dispatched window's tokens and apply them: postprocess the
+        still-live seqs (finishers within ``defer`` keep their blocks until
+        the next window is fetched), then free the blocks of zombies from the
+        window before this one (their in-flight writes have now completed)."""
+        from byox_vllm_tpu.engine.sequence import SequenceStatus
+
+        token_lists = self.model_runner.fetch_decode(pend)
+        for s in seqs:
+            s.in_flight -= pend.lookahead
+        live = [
+            (s, t) for s, t in zip(seqs, token_lists) if s.status != SequenceStatus.FINISHED
+        ]
+        appended = self.scheduler.postprocess(
+            [s for s, _ in live], [t for _, t in live], defer_dealloc=defer
+        )
+        newly_finished = [s for s, _ in live if s.status == SequenceStatus.FINISHED]
+        if defer is not None and self._pending is not None:
+            # finishers' blocks are written by the window just dispatched:
+            # hold them until that window is fetched
+            self._pending[2].extend(s for s in newly_finished if s in defer)
+        for z in zombies:
+            self.scheduler.release_deferred(z)
+        now = time.perf_counter()
+        for seq, _ in live:
+            if seq.first_token_time is None and seq.num_completion_tokens > 0:
+                seq.first_token_time = now
+            if seq.is_finished and seq.finish_time is None:
+                seq.finish_time = now
+                self.metrics.record_request(seq)
+        self.metrics.decode_tokens += appended
+        outputs = [(s.seq_id, s.completion_token_ids) for s in newly_finished]
+        return outputs, -appended
 
     # -- batch API --------------------------------------------------------
 

@@ -18,6 +18,7 @@ head_dim], donated into every step so the scatters update HBM in place.
 """
 
 import math
+from dataclasses import dataclass as _dataclass
 from functools import partial
 
 import jax
@@ -32,6 +33,15 @@ from byox_vllm_tpu.engine.batch_prep import (
     prepare_spec_verify,
 )
 from byox_vllm_tpu.engine.sequence import Sequence
+
+
+@_dataclass
+class PendingDecode:
+    """A decode window in flight on the device (async pipelined decode)."""
+
+    tokens: object  # jax [B_padded, K] int32 (device)
+    num_seqs: int
+    lookahead: int
 from byox_vllm_tpu.models import get_model
 from byox_vllm_tpu.ops.sampler import sample_tokens
 from byox_vllm_tpu.parallel.mesh import make_mesh
@@ -259,10 +269,45 @@ class ModelRunner:
                 seed_info,
             )
             return np.asarray(tokens)[:n].tolist()
+        pending = self._dispatch_decode_padded(padded, n, lookahead, step_key, filters, seed_info)
+        return self.fetch_decode(pending)
+
+    def dispatch_decode(self, seqs: list[Sequence], lookahead: int, carry=None):
+        """Async pipelined decode: launch a K-step decode window and return a
+        PendingDecode handle WITHOUT waiting for the device. ``carry`` is the
+        previous window's on-device [B_padded, K] token matrix — its last
+        column feeds this window's first step, so the host never sees the
+        intermediate tokens (the fetch of window n overlaps the device
+        executing window n+1, hiding the dispatch round-trip entirely)."""
+        batch = prepare_decode(seqs, self.block_size, lookahead)
+        n = batch.num_seqs
+        padded = pad_batch(
+            batch,
+            num_seqs=_next_bucket(n, self.seq_buckets),
+            num_tokens=1,
+            table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
+        )
+        self.rng, step_key = jax.random.split(self.rng)
+        filters = None
+        if padded.top_k is not None:
+            filters = (jnp.asarray(padded.top_k), jnp.asarray(padded.top_p))
+        seed_info = None
+        if padded.seeds is not None:
+            seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
+        first_tokens = jnp.asarray(padded.token_ids[:, 0]) if carry is None else carry[:, -1]
+        return self._dispatch_decode_padded(
+            padded, n, lookahead, step_key, filters, seed_info, first_tokens=first_tokens
+        )
+
+    def _dispatch_decode_padded(
+        self, padded, n, lookahead, step_key, filters, seed_info, first_tokens=None
+    ):
+        if first_tokens is None:
+            first_tokens = jnp.asarray(padded.token_ids[:, 0])
         tokens, self.kv_cache = self._decode(
             self.params,
             self.kv_cache,
-            jnp.asarray(padded.token_ids[:, 0]),
+            first_tokens,
             jnp.asarray(padded.context_lens),
             jnp.asarray(padded.slot_mapping),
             jnp.asarray(padded.block_tables),
@@ -271,8 +316,12 @@ class ModelRunner:
             filters,
             seed_info,
         )
-        out = np.asarray(tokens)[:n]  # [n, K]
-        return out[:, 0].tolist() if lookahead == 1 else out.tolist()
+        return PendingDecode(tokens=tokens, num_seqs=n, lookahead=lookahead)
+
+    def fetch_decode(self, pending: "PendingDecode") -> list:
+        """Block on a dispatched decode window and return its token lists."""
+        out = np.asarray(pending.tokens)[: pending.num_seqs]  # [n, K]
+        return out[:, 0].tolist() if pending.lookahead == 1 else out.tolist()
 
     def run_spec(
         self, seqs: list[Sequence], drafts: list[list[int]], num_spec_tokens: int

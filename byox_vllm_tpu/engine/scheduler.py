@@ -62,7 +62,7 @@ class Scheduler:
         the compiled multi-step program."""
         if not self.running:
             return 1
-        headroom = min(self.max_model_len - len(s) + 1 for s in self.running)
+        headroom = min(self.max_model_len - len(s) - s.in_flight + 1 for s in self.running)
         k = self.decode_lookahead
         while k > 1 and k > headroom:
             k //= 2
@@ -114,31 +114,58 @@ class Scheduler:
 
         # decode pass
         lookahead = self._pick_lookahead()
+        stalled = False
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
-            while not self.block_manager.can_append(seq, lookahead):
-                if self.running:
-                    self._preempt(self.running.pop())  # newest first
-                else:
+            while not self.block_manager.can_append(seq, seq.in_flight + lookahead):
+                # newest-first preemption — but a seq with a window still in
+                # flight on the device cannot be preempted (its blocks are
+                # being written); the engine must flush the pipeline first
+                victim = None
+                for i in range(len(self.running) - 1, -1, -1):
+                    if self.running[i].in_flight == 0:
+                        victim = self.running[i]
+                        del self.running[i]
+                        break
+                if victim is not None:
+                    self._preempt(victim)
+                elif seq.in_flight == 0:
                     self._preempt(seq)
+                    break
+                else:
+                    self.running.appendleft(seq)  # keep; needs pipeline flush
+                    stalled = True
                     break
             else:
                 num_seqs += 1
-                self.block_manager.may_append(seq, lookahead)
+                self.block_manager.may_append(seq, seq.in_flight + lookahead)
                 scheduled.append(seq)
+            if stalled:
+                break
         if scheduled:
             # restore original order at the front of the running queue
             self.running.extendleft(reversed(scheduled))
         self.last_lookahead = lookahead
         return scheduled, False
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list, is_prefill: bool = False) -> int:
+    def postprocess(
+        self,
+        seqs: list[Sequence],
+        token_ids: list,
+        is_prefill: bool = False,
+        defer_dealloc: set | None = None,
+    ) -> int:
         """Append sampled tokens. Each entry may be one token id (reference
         semantics) or a lookahead list; lists are truncated at the first
         finish condition and surplus tokens are discarded. Prefill first
         advances each sequence's computed-token progress; a mid-prompt chunk
         discards its (meaningless) sampled token. Returns the number of
-        tokens actually appended."""
+        tokens actually appended.
+
+        ``defer_dealloc``: seqs whose blocks must stay allocated even if they
+        finish — a later window already dispatched to the device writes into
+        them; the engine calls ``release_deferred`` once that window is
+        fetched."""
         appended = 0
         for seq, tokens in zip(seqs, token_ids):
             if is_prefill:
@@ -151,11 +178,19 @@ class Scheduler:
             for token_id in tokens:
                 seq.append_token(token_id)
                 appended += 1
-                if self._check_finished(seq, token_id):
+                if self._check_finished(seq, token_id, defer_dealloc):
                     break
         return appended
 
-    def _check_finished(self, seq: Sequence, token_id: int) -> bool:
+    def release_deferred(self, seq: Sequence) -> None:
+        """Free the blocks of a sequence that finished while a decode window
+        was still in flight (see postprocess defer_dealloc)."""
+        if seq.block_table:
+            self.block_manager.deallocate(seq)
+
+    def _check_finished(
+        self, seq: Sequence, token_id: int, defer_dealloc: set | None = None
+    ) -> bool:
         hit_eos = not seq.ignore_eos and token_id == self.eos
         done = (
             hit_eos
@@ -164,7 +199,8 @@ class Scheduler:
         )
         if done:
             seq.status = SequenceStatus.FINISHED
-            self.block_manager.deallocate(seq)
+            if defer_dealloc is None or seq not in defer_dealloc:
+                self.block_manager.deallocate(seq)
             self.running.remove(seq)
         return done
 

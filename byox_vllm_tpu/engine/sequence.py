@@ -48,6 +48,11 @@ class Sequence:
         # Speculative decoding: number of draft tokens scheduled for
         # verification this step (0 on the normal 1-token decode path).
         self.num_draft_tokens = 0
+        # Async pipelined decode: tokens dispatched to the device but not yet
+        # fetched/confirmed. The scheduler reserves blocks for them and the
+        # batch prep offsets positions by them; the engine clears the count
+        # when the window's tokens are committed.
+        self.in_flight = 0
         # request-level timing (engine metrics: TTFT, latency)
         self.arrival_time: float | None = None
         self.first_token_time: float | None = None
