@@ -43,6 +43,9 @@ def paged_attention(
     tq = q.shape[1]
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
+    # both Pallas kernels assume head_dim == one 128-wide lane register;
+    # other head dims (64/80/96) Mosaic-fail today -> dense fallback
+    use_pallas = use_pallas and q.shape[-1] == 128
     if tq == 1 and use_pallas:
         # v2 (chunked manual-DMA) is the default: measured 422 GB/s at ctx
         # 504 vs 36 GB/s for the (B, W) BlockSpec pipeline (v1), and ~1.4x
@@ -58,13 +61,14 @@ def paged_attention(
             kv_scales=kv_scales,
         )
         return out[:, None]
-    if tq > 1 and use_pallas and kv_scales is None and tq % min(128, tq) == 0:
+    if tq > 1 and use_pallas and tq % min(128, tq) == 0:
         from byox_vllm_tpu.ops.prefill_attention import paged_prefill_attention
 
         q_lens = context_lens - positions[:, 0]
         return paged_prefill_attention(
             q, k_pool, v_pool, block_tables, context_lens, q_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
+            kv_scales=kv_scales,
         )
     return paged_attention_dense(
         q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,

@@ -41,19 +41,20 @@ def _prefill_kernel(
     q_ref,  # [1, TQ, nh, hd]
     k_ref,  # [1, bs, nkv*hd]
     v_ref,  # [1, bs, nkv*hd]
-    o_ref,  # [1, TQ, nh, hd]
-    # scratch
-    m_ref,  # [nh, TQ, 128] f32
-    l_ref,  # [nh, TQ, 128] f32
-    acc_ref,  # [nh, TQ, hd] f32
-    *,
+    *rest,  # [sc_ref (1, bs, 128) when int8], o_ref, scratch m/l/acc
     scale: float,
     block_size: int,
     num_kv_heads: int,
     group: int,
     head_dim: int,
     q_tile: int,
+    quantized: bool,
 ):
+    if quantized:
+        sc_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+        sc_ref = None
     b = pl.program_id(0)
     t = pl.program_id(1)
     w = pl.program_id(2)
@@ -83,12 +84,19 @@ def _prefill_kernel(
         q_pos = base + row_t
         mask = jnp.logical_and(key_pos <= q_pos, key_pos < ctx)  # [TQ, bs]
 
+        sc = sc_ref[0].astype(jnp.float32) if quantized else None  # [bs, 128]
         for h in range(nh):
             kv_h = h // group
             lanes = slice(kv_h * head_dim, (kv_h + 1) * head_dim)
             q = q_ref[0, :, h, :].astype(jnp.float32)  # [TQ, hd]
             k = k_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
             v = v_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
+            if quantized:
+                # per-(token, head) scales: lane g = K, lane nkv+g = V of the
+                # unified scale row (ops/kv_cache.py); prefill is compute-
+                # bound so two [bs, hd] multiplies per head are immaterial
+                k = k * sc[:, kv_h : kv_h + 1]
+                v = v * sc[:, num_kv_heads + kv_h : num_kv_heads + kv_h + 1]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [TQ, bs]
@@ -127,6 +135,7 @@ def paged_prefill_attention(
     block_size: int,
     scale: float,
     interpret: bool = False,
+    kv_scales=None,  # unified [S, 128] bf16 scale pool when the pool is int8
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
     s, f = k_pool.shape
@@ -139,6 +148,7 @@ def paged_prefill_attention(
     num_q_tiles = tq // q_tile
     kp = k_pool.reshape(num_blocks, block_size, f)
     vp = v_pool.reshape(num_blocks, block_size, f)
+    quantized = kv_scales is not None
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
     def page_index(i, t, j, bt, ctx, ql):
@@ -149,14 +159,20 @@ def paged_prefill_attention(
         last_useful = jnp.clip(max_pos // block_size, 0, None)
         return (bt[i, jnp.clip(jnp.minimum(j, last_useful), 0, None)], 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
+        pl.BlockSpec((1, block_size, f), page_index),
+        pl.BlockSpec((1, block_size, f), page_index),
+    ]
+    operands = [q, kp, vp]
+    if quantized:
+        scale_lanes = kv_scales.shape[1]
+        in_specs.append(pl.BlockSpec((1, block_size, scale_lanes), page_index))
+        operands.append(kv_scales.reshape(num_blocks, block_size, scale_lanes))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, num_q_tiles, w),
-        in_specs=[
-            pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
-            pl.BlockSpec((1, block_size, f), page_index),
-            pl.BlockSpec((1, block_size, f), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nh, q_tile, 128), jnp.float32),
@@ -172,6 +188,7 @@ def paged_prefill_attention(
         group=group,
         head_dim=hd,
         q_tile=q_tile,
+        quantized=quantized,
     )
     return pl.pallas_call(
         kernel,
@@ -182,7 +199,5 @@ def paged_prefill_attention(
         tables,
         context_lens.astype(jnp.int32),
         q_lens.astype(jnp.int32),
-        q,
-        kp,
-        vp,
+        *operands,
     )

@@ -68,20 +68,35 @@ def unpack_int4_np(packed) -> np.ndarray:
 
 
 def quantize_weight(w, bits: int = 8, group: int | None = None):
-    """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}."""
-    w = np.asarray(w).astype(np.float32)  # host-side; never lands on the accelerator
+    """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}.
+
+    Computed with jax pinned to the CPU backend (multithreaded — the numpy
+    version cost ~25 min for an 8B model, dominated by single-threaded bf16
+    conversions); the transient full-precision tensor never lands on the
+    accelerator. Outputs are CPU-committed; callers device_put them."""
     *lead, k, m = w.shape
     g = group or pick_group(k, bits)
     assert k % g == 0
-    grouped = w.reshape(*lead, k // g, g, m)
     qmax = 127.0 if bits == 8 else 7.0
-    scales = np.abs(grouped).max(axis=-2) / qmax  # [..., K/G, M]
-    scales = np.maximum(scales, 1e-8)
-    q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
-    q = q.reshape(*lead, k, m).astype(np.int8)
-    if bits == 4:
-        q = pack_int4(q)
-    return {"q": jnp.asarray(q), "s": jnp.asarray(scales, dtype=jnp.float32)}
+    cpu = jax.devices("cpu")[0]
+
+    @jax.jit
+    def _quantize(w):
+        grouped = w.astype(jnp.float32).reshape(*lead, k // g, g, m)
+        scales = jnp.maximum(jnp.max(jnp.abs(grouped), axis=-2) / qmax, 1e-8)
+        q = jnp.clip(jnp.round(grouped / scales[..., None, :]), -qmax, qmax)
+        q = q.reshape(*lead, k, m).astype(jnp.int8)
+        if bits == 4:
+            lo = (q[..., 0::2, :] & 15).astype(jnp.uint8)
+            hi = (q[..., 1::2, :] & 15).astype(jnp.uint8)
+            q = (lo | (hi << 4)).astype(jnp.int8)
+        return q, scales
+
+    with jax.default_device(cpu):
+        if isinstance(w, np.ndarray):
+            w = jnp.asarray(w)
+        q, scales = _quantize(w)
+    return {"q": q, "s": scales}
 
 
 def _unpack_tile(raw, bits: int, interpret: bool):
@@ -99,8 +114,8 @@ def _unpack_tile(raw, bits: int, interpret: bool):
 def _qmm_kernel(
     x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, group_size, out_dtype, interpret
 ):
-    k = pl.program_id(1)
-    num_k = pl.num_programs(1)
+    k = pl.program_id(2)
+    num_k = pl.num_programs(2)
     tm = wq_ref.shape[-1]
 
     @pl.when(k == 0)
@@ -158,14 +173,40 @@ def quant_matmul_pallas(
             gpt = tk // gsize
         else:
             raise ValueError(f"K={k} with group {gsize} not tileable for the TPU qmm kernel")
-    # cap the output tile so the f32 accumulator fits VMEM at large N
-    # (prefill feeds thousands of rows; decode feeds the batch)
-    acc_budget = 4 * 1024 * 1024
-    tm = min(tile_m, m, max(128, acc_budget // (4 * n) // 128 * 128))
+    # joint VMEM budget: x/w/scale/out blocks are double-buffered in scoped
+    # VMEM (~16 MB) and the f32 accumulator is resident. Tile the row dim
+    # for prefill (thousands of tokens); shrink tk first (only grid overhead
+    # grows), then tm, then tn (each extra row tile refetches all weights).
+    pack_ = 1 if bits == 8 else 2
+    xb = x.dtype.itemsize
+    tn = n
+    while tn > 2048 and tn % 2 == 0:
+        tn //= 2
+    tm = min(tile_m, m)
     while m % tm:
         tm //= 2
-    assert m % tm == 0 and k % tk == 0
-    num_m, num_k = m // tm, k // tk
+
+    def vmem_bytes(tn, tk, tm):
+        return 2 * (
+            tn * tk * xb  # x block
+            + (tk // pack_) * tm  # quantized weight block
+            + (tk // gsize) * tm * 4  # scale block
+            + tn * tm * xb  # out block
+        ) + tn * tm * 4  # accumulator scratch
+
+    budget = 13 * 1024 * 1024
+    while vmem_bytes(tn, tk, tm) > budget:
+        if tk >= 2 * 8 * gsize and k % (tk // 2) == 0:
+            tk //= 2
+        elif tm > 128 and m % (tm // 2) == 0:
+            tm //= 2
+        elif tn > 8 and tn % 2 == 0:
+            tn //= 2
+        else:
+            break
+    gpt = tk // gsize
+    assert m % tm == 0 and k % tk == 0 and n % tn == 0
+    num_n, num_m, num_k = n // tn, m // tm, k // tk
     pack = 1 if bits == 8 else 2
 
     return pl.pallas_call(
@@ -173,15 +214,15 @@ def quant_matmul_pallas(
             _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize,
             out_dtype=x.dtype, interpret=interpret,
         ),
-        grid=(num_m, num_k),
+        grid=(num_n, num_m, num_k),
         in_specs=[
-            pl.BlockSpec((n, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // pack, tm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpt, tm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // pack, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
-        scratch_shapes=[pltpu.VMEM((n, tm), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tn, tm), jnp.float32)],
         interpret=interpret,
     )(x, wq, scales)
 

@@ -56,3 +56,46 @@ def test_prefill_kernel_matches_dense(ctx_lens, q_lens):
         np.testing.assert_allclose(
             np.asarray(out[i, :qn]), np.asarray(ref[i, :qn]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_prefill_kernel_int8_matches_dense():
+    """INT8 KV pool: per-(token, head) scale dequant inside the kernel."""
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
+
+    rng = np.random.default_rng(2)
+    bs = 16
+    ctx_lens, q_lens = [30, 17], [30, 17]
+    b, nh, nkv, hd = 2, 8, 4, 128
+    tq = max(q_lens)
+    S = 16 * bs
+    kp = jnp.zeros((S, nkv * hd), jnp.int8)
+    vp = jnp.zeros((S, nkv * hd), jnp.int8)
+    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
+    tables = np.full((b, 4), -1, np.int32)
+    nxt = 0
+    for i, c in enumerate(ctx_lens):
+        nblk = -(-c // bs)
+        slots = []
+        for j in range(nblk):
+            tables[i, j] = nxt
+            hi = min(c, (j + 1) * bs) - j * bs
+            slots += list(range(nxt * bs, nxt * bs + hi))
+            nxt += 1
+        rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+        rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
+        kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+    tables = jnp.asarray(tables)
+    ctx = jnp.asarray(ctx_lens, jnp.int32)
+    ql = jnp.asarray(q_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(b, tq, nh, hd)), jnp.float32)
+    positions = (ctx - ql)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
+    scale = hd**-0.5
+    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale, kv_scales=sc)
+    out = paged_prefill_attention(
+        q, kp, vp, tables, ctx, ql, block_size=bs, scale=scale, interpret=True,
+        kv_scales=sc,
+    )
+    for i, qn in enumerate(q_lens):
+        np.testing.assert_allclose(
+            np.asarray(out[i, :qn]), np.asarray(ref[i, :qn]), rtol=1e-4, atol=1e-4
+        )

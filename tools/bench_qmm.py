@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--tile-m", type=int, default=512)
     ap.add_argument("--tile-k", type=int, default=1024)
+    ap.add_argument("--cycle-mb", type=float, default=150.0)
     args = ap.parse_args()
 
     from byox_vllm_tpu.ops.quant import quant_matmul_pallas, quantize_weight
@@ -74,16 +75,25 @@ def main():
             _ = jax.device_get(jitted(xi, *flat, it=it))
             return time.perf_counter() - t0
 
-        t_lo = min(timed(lo, i) for i in range(3))
-        t_hi = min(timed(hi, i + 3) for i in range(3))
-        dt = (t_hi - t_lo) / ((hi - lo) * n_sets)
+        # calibrate: tunnel RTT jitter has multi-100 ms spikes, so the hi-lo
+        # marginal work must dominate them — scale iter counts until the
+        # delta work is ~2 s, then take the median of interleaved deltas
+        per_call = timed(hi, 99) / (hi * n_sets)  # upper bound (includes RTT)
+        want = 2.0
+        boost = max(1, int(want / max((hi - lo) * n_sets * per_call, 1e-9)) + 1)
+        boost = min(boost, 2000)
+        lo, hi = lo * boost, hi * boost
+        for it in (lo, hi):  # compile at the scaled counts
+            _ = jax.device_get(jitted(x, *flat, it=it))
+        deltas = sorted(timed(hi, 2 * i) - timed(lo, 2 * i + 1) for i in range(5))
+        dt = deltas[len(deltas) // 2] / ((hi - lo) * n_sets)
         print(
             f"{name}: {dt * 1e6:8.1f} us/call  {weight_bytes / 1e6:7.1f} MB"
             f"  -> {weight_bytes / dt / 1e9:6.1f} GB/s effective",
             flush=True,
         )
 
-    target_bytes = 300e6  # enough distinct copies to defeat VMEM residency
+    target_bytes = args.cycle_mb * 1e6  # distinct copies to defeat VMEM residency
     for v in args.variants:
         if v == "bf16":
             wb = K * M * 2
@@ -101,9 +111,13 @@ def main():
             # eager int4 arithmetic and int4 device_get are both broken on
             # the axon platform, so stay on the host until quantize_weight
             sets = []
+            dev = jax.devices()[0]
             for i in range(n_sets):
+                # quantize_weight returns CPU-committed arrays; push them to
+                # the accelerator once or every call re-ships them over the
+                # tunnel (~seconds of transfer masquerading as kernel time)
                 qi = quantize_weight(w * (1 + 0.003 * i), bits=bits)
-                sets.append((qi["q"], qi["s"]))
+                sets.append((jax.device_put(qi["q"], dev), jax.device_put(qi["s"], dev)))
             bench(
                 v,
                 lambda a, qq, ss, bits=bits: quant_matmul_pallas(
