@@ -39,7 +39,18 @@ class Config:
     kv_cache_dtype: str = "auto"  # "auto" (= dtype) | "int8"
     quantization: str | None = None  # None | "int8" | "int4"
     attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
+    # With weight quantization on, also quantize the (untied) LM head to
+    # int8: the V x D head is the largest single matrix and streams fully
+    # every decode step; int8 halves that at negligible perplexity cost.
+    quantize_lm_head: bool = True
     num_decode_steps: int = 8  # decode iterations per device call (1 = step-per-call)
+    # Window-staged decode KV: within a multi-step window, new K/V ride a
+    # bf16 tail operand of the attention kernel and the pool is committed
+    # once per window. Measured NET-NEGATIVE at B=128 on 8B (TPU scatter
+    # cost is per-ROW, so batching the commit saves nothing, and the tail
+    # adds ~3 ms/step) — kept for configs where it wins (small batches,
+    # future cheap-commit paths).
+    window_staged_decode: bool = False
     # async pipelined decode: dispatch window n+1 from window n's on-device
     # tokens before fetching window n, hiding the host<->device round trip
     # under device compute (the TPU analogue of vLLM's async scheduling)

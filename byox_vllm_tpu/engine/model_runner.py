@@ -107,7 +107,12 @@ class ModelRunner:
             from dataclasses import replace
 
             bits = {"int8": 8, "int4": 4}[config.quantization]
-            self.spec = replace(self.spec, quant_bits=bits)
+            head_bits = (
+                8
+                if config.quantize_lm_head and not self.spec.tie_word_embeddings
+                else None
+            )
+            self.spec = replace(self.spec, quant_bits=bits, head_bits=head_bits)
         self.forward_fn = model_cls.forward
         self.block_size = config.kvcache_block_size
         self.dtype = jnp.dtype(config.dtype)
@@ -120,7 +125,20 @@ class ModelRunner:
             if params is not None:
                 from dataclasses import replace
 
-                self.spec = replace(self.spec, quant_bits=qmeta["bits"])
+                head_bits = qmeta.get("head_bits")
+                if (
+                    head_bits is None
+                    and config.quantize_lm_head
+                    and not self.spec.tie_word_embeddings
+                    and "lm_head" in params
+                    and not isinstance(params["lm_head"], dict)
+                ):
+                    # older pack with a bf16 head: quantize it at load time
+                    from byox_vllm_tpu.models.qwen3 import quantize_head
+
+                    head_bits = 8
+                    params["lm_head"] = quantize_head(params["lm_head"], head_bits)
+                self.spec = replace(self.spec, quant_bits=qmeta["bits"], head_bits=head_bits)
                 logger.info("loaded pre-quantized int%d pack from %s", qmeta["bits"], config.model)
             else:
                 params = model_cls.load_params(config.model, self.spec, self.dtype)
@@ -128,6 +146,14 @@ class ModelRunner:
             logger.warning("no model path given: using random-initialized weights")
             params = model_cls.init_params(self.spec, self.dtype, seed=config.seed)
         self.params = shard_params(params, self.mesh)
+        # stacked [L, ...] -> per-layer lists: a stacked slice feeding a
+        # Pallas custom-call (quantized matmul) is materialized as a copy
+        # every step, tripling weight traffic (models/qwen3.py docstring)
+        from byox_vllm_tpu.models.qwen3 import unstack_layer_params
+
+        self.params["layers"] = unstack_layer_params(
+            self.params["layers"], self.spec.num_layers
+        )
 
         # --- KV pool sizing & allocation --------------------------------
         if config.num_kvcache_blocks <= 0:
@@ -170,6 +196,7 @@ class ModelRunner:
                 spec=self.spec,
                 block_size=self.block_size,
                 attention_backend=config.attention_backend,
+                window_staged=config.window_staged_decode,
             ),
             donate_argnums=(1,),  # kv_cache
         )
@@ -451,41 +478,91 @@ def _multi_decode_step(
     spec,
     block_size,
     attention_backend="auto",
+    window_staged=False,
 ):
     """K decode iterations in one device program: each iteration's sampled
     token feeds the next iteration's forward without leaving the chip. The
-    KV pools ride the scan carry (updated in place by XLA's while-loop buffer
-    aliasing). Returns tokens [B, K]."""
+    KV pools ride the scan carry (updated in place by XLA's while-loop
+    buffer aliasing). Returns tokens [B, K].
+
+    ``window_staged``: the pools stay READ-ONLY within the window — each
+    step's new K/V rows go to a small bf16 tail operand of the attention
+    kernel and the pool scatter happens once per window after the scan.
+    Measured net-negative at B=128 on 8B (config.py knob docs), default off.
+    """
     from functools import partial as _partial
 
     from byox_vllm_tpu.ops.attention import paged_attention
+    from byox_vllm_tpu.ops.kv_cache import write_kv, write_kv_quant
 
     k_steps = slot_mapping.shape[1]
+    b = last_tokens.shape[0]
     ones = jnp.ones_like(context_lens)
-    attention_fn = _partial(paged_attention, backend=attention_backend)
+    nkv, hd = spec.num_kv_heads, spec.head_dim
+    top_k, top_p = filters if filters is not None else (None, None)
 
-    def body(carry, xs):
-        tokens, kv = carry
-        step_idx, slots_k = xs
-        logits, kv = forward_fn(
-            params, kv, tokens[:, None], ones, context_lens + step_idx,
-            slots_k[:, None], block_tables, spec, block_size,
-            attention_fn=attention_fn,
-        )
-        top_k, top_p = filters if filters is not None else (None, None)
+    def sample(logits, step_idx):
         if seed_info is not None:
             seeds, steps = seed_info[0], seed_info[1] + step_idx
         else:
             seeds, steps = None, None
-        next_tokens = sample_tokens(
+        return sample_tokens(
             logits, temperatures, jax.random.fold_in(key, step_idx),
             top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
         )
-        return (next_tokens, kv), next_tokens
 
     xs = (jnp.arange(k_steps, dtype=context_lens.dtype), slot_mapping.T)
-    (_, kv_cache), tokens = jax.lax.scan(body, (last_tokens, kv_cache), xs)
-    return tokens.T, kv_cache
+
+    if not window_staged:
+        attention_fn = _partial(paged_attention, backend=attention_backend)
+
+        def body(carry, xs):
+            tokens, kv = carry
+            step_idx, slots_k = xs
+            logits, kv = forward_fn(
+                params, kv, tokens[:, None], ones, context_lens + step_idx,
+                slots_k[:, None], block_tables, spec, block_size,
+                attention_fn=attention_fn,
+            )
+            next_tokens = sample(logits, step_idx)
+            return (next_tokens, kv), next_tokens
+
+        (_, kv_cache), tokens = jax.lax.scan(body, (last_tokens, kv_cache), xs)
+        return tokens.T, kv_cache
+
+    tails0 = [
+        (
+            jnp.zeros((b, k_steps, nkv, hd), jnp.bfloat16),
+            jnp.zeros((b, k_steps, nkv, hd), jnp.bfloat16),
+        )
+        for _ in range(spec.num_layers)
+    ]
+
+    def body(carry, xs):
+        tokens, tails = carry
+        step_idx, slots_k = xs
+        logits, tails = forward_fn(
+            params, kv_cache, tokens[:, None], ones, context_lens + step_idx,
+            slots_k[:, None], block_tables, spec, block_size,
+            decode_tails=tails, tail_index=step_idx,
+            attention_backend=attention_backend,
+        )
+        next_tokens = sample(logits, step_idx)
+        return (next_tokens, tails), next_tokens
+
+    (_, tails), tokens = jax.lax.scan(body, (last_tokens, tails0), xs)
+
+    # commit the window's staged K/V: one batched scatter per layer
+    flat_slots = slot_mapping.reshape(-1)  # [B*K]; row b*K+t == tail[b, t]
+    new_kv = []
+    for i, lay in enumerate(kv_cache):
+        k_rows = tails[i][0].reshape(b * k_steps, nkv, hd)
+        v_rows = tails[i][1].reshape(b * k_steps, nkv, hd)
+        if len(lay) == 3:
+            new_kv.append(write_kv_quant(*lay, k_rows, v_rows, flat_slots))
+        else:
+            new_kv.append(write_kv(lay[0], lay[1], k_rows, v_rows, flat_slots))
+    return tokens.T, new_kv
 
 
 def _spec_verify_step(

@@ -32,6 +32,15 @@ from byox_vllm_tpu.engine.sequence import Sequence, SequenceStatus
 from byox_vllm_tpu.utils.logging import logger
 
 
+def _bucket(n: int, lo: int, hi: int) -> int:
+    """Power-of-two padding bucket from lo, capped at hi — mirrors the
+    runner's shape buckets (engine/model_runner.py::_pow2_buckets)."""
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(max(b, 1), max(hi, 1))
+
+
 class Scheduler:
     def __init__(self, config: Config, decode_lookahead: int = 1):
         self.max_num_seqs = config.max_num_seqs
@@ -74,9 +83,25 @@ class Scheduler:
         num_batched_tokens = 0
 
         # prefill pass
+        max_chunk = 0
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
             budget = self.max_num_batched_tokens - num_batched_tokens
+            if scheduled and self.max_num_batched_tokens >= 1024:
+                # padded-shape admission: the runner pads the batch to
+                # (seq-bucket x chunk-bucket) rows, so raw-token budgeting
+                # alone can admit a batch that pads to 2x the budget in MXU
+                # rows (e.g. 17 x ~114-token prompts pad to 32 x 128 = 4096).
+                # Admit another sequence only if the PADDED batch still fits.
+                # Gated to serving-scale budgets: below the bucket floor the
+                # check is meaningless (and reference-parity tests use tiny
+                # budgets to pin admission policy).
+                cand = max(max_chunk, min(seq.num_pending_prefill_tokens, budget))
+                padded = _bucket(num_seqs + 1, 8, self.max_num_seqs) * _bucket(
+                    cand, 16, self.max_model_len
+                )
+                if padded > self.max_num_batched_tokens:
+                    break
             if not seq.block_table:  # fresh admission (not a mid-prompt chunk)
                 if not self.enable_chunked_prefill and len(seq) > budget:
                     # rotate so the oversized head can't starve the queue
@@ -98,6 +123,7 @@ class Scheduler:
                     break
             num_seqs += 1
             num_batched_tokens += chunk
+            max_chunk = max(max_chunk, chunk)
             seq.scheduled_chunk = chunk
             scheduled.append(seq)
             if chunk == remaining:

@@ -57,6 +57,40 @@ def quantize_layer_params(layer_params: dict, bits: int) -> dict:
     return out
 
 
+def quantize_head(lm_head, bits: int) -> dict:
+    """lm_head [V, D] float -> {"q": int8 [D, V_pad], "s": f32 [D/G, V_pad]}
+    stored pre-transposed for the fused dequant-matmul (x [N, D] @ W [D, V]).
+    V is padded up to a multiple of 1024 so the qmm kernel can tile the
+    output dim (151936 = 1187 * 128 would force 128-wide tiles); the forward
+    slices logits back to the real vocab."""
+    import numpy as np
+
+    v, d = lm_head.shape
+    v_pad = -(-v // 1024) * 1024
+    w = np.zeros((d, v_pad), np.float32)
+    w[:, :v] = np.asarray(jax.device_get(lm_head)).astype(np.float32).T
+    return quantize_weight(w, bits=bits)
+
+
+def unstack_layer_params(layer_params: dict, num_layers: int) -> dict:
+    """Stacked [L, ...] layer leaves -> per-layer LISTS of device arrays.
+
+    Inside jit, slicing a stacked array that feeds a Pallas custom-call
+    materializes a full copy of the layer's weights every step (custom-call
+    operands can't alias a slice), tripling HBM weight traffic — measured
+    6.8 us vs 0.6 us per VMEM-resident quantized matmul. Einsum fuses the
+    slice for free, so only quantized weights strictly need this, but lists
+    are never worse: do it for all leaves. One jitted call slices everything
+    on-device (eager per-leaf slicing costs a tunnel round trip each).
+    ``_slice_layer`` indexes lists and stacked arrays identically, so
+    ``forward`` accepts both layouts."""
+
+    def unstack(tree):
+        return jax.tree.map(lambda x: [x[i] for i in range(num_layers)], tree)
+
+    return jax.jit(unstack)(layer_params)
+
+
 @dataclass(frozen=True)
 class Qwen3Spec:
     vocab_size: int
@@ -73,6 +107,11 @@ class Qwen3Spec:
     qk_norm: bool  # per-head q/k RMSNorm (Qwen3: yes; Qwen2/Llama: no)
     max_position_embeddings: int
     quant_bits: int | None = None  # weight-only quantization: None | 8 | 4
+    # LM head quantization (untied heads only). Always int8 even for int4
+    # body weights: the head is the single largest matrix (V x D, 1.2 GB
+    # bf16 on 8B) and streams fully every decode step, but it is also the
+    # most quality-sensitive matmul — int8 halves its traffic at ~0 ppl cost.
+    head_bits: int | None = None
 
     @classmethod
     def from_hf_config(cls, hf, qk_norm: bool = True) -> "Qwen3Spec":
@@ -153,6 +192,8 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
         params["lm_head"] = w(spec.vocab_size, D)
     if spec.quant_bits is not None:
         params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
+    if spec.head_bits is not None and not spec.tie_word_embeddings:
+        params["lm_head"] = quantize_head(params["lm_head"], spec.head_bits)
     return params
 
 
@@ -169,6 +210,9 @@ def forward(
     attention_fn: Any = None,
     all_logits: bool = False,
     write_runs: Any = None,  # (run_dst [R], run_src [R]) for block-aligned prefill stores
+    decode_tails: Any = None,  # per-layer (k_tail, v_tail) [B, T, nkv, hd]: window-staged decode
+    tail_index: Any = None,  # scalar int32 step-within-window (with decode_tails)
+    attention_backend: str = "auto",
 ) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
@@ -216,25 +260,50 @@ def forward(
 
         k_flat = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
         v_flat = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
-        if len(kv_cache[i]) == 3:  # int8 KV cache + unified [S, 128] scale pool
-            k_pool, v_pool, sc = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
-            new_kv.append((k_pool, v_pool, sc))
-            kv_scales = sc
-        elif write_runs is not None:
-            k_pool, v_pool = write_kv_runs(
-                kv_cache[i][0], kv_cache[i][1], k_flat, v_flat,
-                write_runs[0], write_runs[1], block_size,
+        if decode_tails is not None:
+            # window-staged decode (Tq == 1): new K/V go to the bf16 tail
+            # buffer, the pool stays read-only; the scatter happens once per
+            # window in the caller (engine/model_runner._multi_decode_step)
+            from byox_vllm_tpu.ops.attention import decode_attention_with_tail
+
+            k_tail, v_tail = decode_tails[i]
+            k_tail = jax.lax.dynamic_update_slice(
+                k_tail, k_flat[:, None].astype(k_tail.dtype), (0, tail_index, 0, 0)
             )
-            new_kv.append((k_pool, v_pool))
-            kv_scales = None
+            v_tail = jax.lax.dynamic_update_slice(
+                v_tail, v_flat[:, None].astype(v_tail.dtype), (0, tail_index, 0, 0)
+            )
+            new_kv.append((k_tail, v_tail))
+            lay = kv_cache[i]
+            kv_scales = lay[2] if len(lay) == 3 else None
+            # pool holds exactly the pre-window tokens: context_lens counts
+            # prefix + tail_index + 1 (the current token rides the tail)
+            pool_ctx = context_lens - tail_index - 1
+            o = decode_attention_with_tail(
+                q[:, 0], lay[0], lay[1], block_tables, pool_ctx,
+                k_tail, v_tail, tail_index, block_size, scale,
+                kv_scales=kv_scales, backend=attention_backend,
+            )[:, None]
         else:
-            k_pool, v_pool = write_kv(kv_cache[i][0], kv_cache[i][1], k_flat, v_flat, flat_slots)
-            new_kv.append((k_pool, v_pool))
-            kv_scales = None
-        o = attend(
-            q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
-            kv_scales=kv_scales,
-        )
+            if len(kv_cache[i]) == 3:  # int8 KV cache + unified [S, 128] scale pool
+                k_pool, v_pool, sc = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
+                new_kv.append((k_pool, v_pool, sc))
+                kv_scales = sc
+            elif write_runs is not None:
+                k_pool, v_pool = write_kv_runs(
+                    kv_cache[i][0], kv_cache[i][1], k_flat, v_flat,
+                    write_runs[0], write_runs[1], block_size,
+                )
+                new_kv.append((k_pool, v_pool))
+                kv_scales = None
+            else:
+                k_pool, v_pool = write_kv(kv_cache[i][0], kv_cache[i][1], k_flat, v_flat, flat_slots)
+                new_kv.append((k_pool, v_pool))
+                kv_scales = None
+            o = attend(
+                q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+                kv_scales=kv_scales,
+            )
         o = o.reshape(b, tq, spec.q_size)
         h = h + _linear(o, lp["wo"], spec.quant_bits)
 
@@ -246,13 +315,18 @@ def forward(
 
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed"])
+
+    def head(x):  # x [..., D] -> logits [..., V] f32
+        if isinstance(lm_head, dict):  # int8 head, pre-transposed + V-padded
+            out = quant_matmul(x, lm_head, spec.head_bits, out_dtype=jnp.float32)
+            return out[..., : spec.vocab_size]
+        return jnp.einsum("...d,vd->...v", x, lm_head, preferred_element_type=jnp.float32)
+
     if all_logits:
-        logits = jnp.einsum("btd,vd->btv", h, lm_head, preferred_element_type=jnp.float32)
-        return logits, new_kv
+        return head(h), new_kv
     last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
-    logits = jnp.einsum("bd,vd->bv", h_last, lm_head, preferred_element_type=jnp.float32)
-    return logits, new_kv
+    return head(h_last), new_kv
 
 
 def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16) -> list:

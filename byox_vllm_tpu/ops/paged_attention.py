@@ -230,12 +230,9 @@ def _decode_kernel_v2(
     # scalar prefetch
     block_tables_ref,  # [B, W] int32 (SMEM)
     context_lens_ref,  # [B] int32 (SMEM)
-    # inputs
-    q_ref,  # [1, nh, hd] (VMEM block)
-    k_hbm,  # [nb, bs, F] (ANY/HBM)
-    v_hbm,  # [nb, bs, F]
-    *rest,  # [ks_hbm, vs_hbm [nb, bs, nkv] if int8], o_ref, kbuf, vbuf,
-    #         (ksbuf, vsbuf), m/l/acc scratch, sems
+    *rest,  # [tail_len_ref if has_tail], q_ref, k_hbm, v_hbm,
+    #         [sc_hbm if int8], [k_tail_ref, v_tail_ref if has_tail],
+    #         o_ref, [ml_ref], kbuf, vbuf, [scbuf], m/l/acc scratch, sems
     scale: float,
     block_size: int,
     num_kv_heads: int,
@@ -244,12 +241,24 @@ def _decode_kernel_v2(
     pages_per_chunk: int,
     num_table_pages: int,
     quantized: bool,
+    return_ml: bool,
+    has_tail: bool,
 ):
+    rest = list(rest)
+    tail_len_ref = rest.pop(0) if has_tail else None
+    q_ref = rest.pop(0)
+    k_hbm = rest.pop(0)
+    v_hbm = rest.pop(0)
+    sc_hbm = rest.pop(0) if quantized else None
+    k_tail_ref = rest.pop(0) if has_tail else None
+    v_tail_ref = rest.pop(0) if has_tail else None
+    o_ref = rest.pop(0)
+    ml_ref = rest.pop(0) if return_ml else None
     if quantized:
-        sc_hbm, o_ref, kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
+        kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
     else:
-        o_ref, kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
-        sc_hbm = scbuf = None
+        kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
+        scbuf = None
     b = pl.program_id(0)
     c = pl.program_id(1)
     num_seqs = pl.num_programs(0)
@@ -389,6 +398,42 @@ def _decode_kernel_v2(
         pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
+    if has_tail:
+        # window-staged decode: the window's new K/V rows live in a small
+        # bf16 tail operand (the pool is read-only within the window, see
+        # engine/model_runner._multi_decode_step); process them as one extra
+        # online-softmax chunk. Rows 0..tail_len are valid; the tail is
+        # always full precision, so no scale folding even for int8 pools.
+        @pl.when(last_chunk & (ctx > 0))
+        def _tail():
+            tl = tail_len_ref[0]
+            t_max = k_tail_ref.shape[1]
+            kt = k_tail_ref[0].astype(cdt)  # [T, F]
+            vt = v_tail_ref[0].astype(cdt)
+            row = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
+            vt = jnp.where(row <= tl, vt, 0.0)
+            q = q_ref[0].astype(jnp.float32)
+            qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
+            s = jax.lax.dot_general(
+                qe, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [nh, T]
+            col = jax.lax.broadcasted_iota(jnp.int32, (nh, t_max), 1)
+            s = jnp.where(col <= tl, s, _NEG_INF)
+
+            m_prev = m_ref[:, 0:1]
+            l_prev = l_ref[:, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[:, 0:1] = m_new
+            pv = jax.lax.dot_general(
+                p.astype(cdt), vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [nh, F]
+            pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
+            acc_ref[...] = acc_ref[...] * alpha + pv
+
     @pl.when(last_chunk)
     def _finish():
         l = jnp.maximum(l_ref[:, 0:1], 1e-20)
@@ -396,10 +441,18 @@ def _decode_kernel_v2(
         # fully-masked padding rows (ctx == 0) must produce zeros
         out = jnp.where(ctx > 0, out, 0.0)
         o_ref[0] = out.astype(o_ref.dtype)
+        if return_ml:
+            # online-softmax stats for the caller's merge with out-of-pool
+            # keys (window-staged decode): lane 0 = m, lane 1 = l
+            lane = jax.lax.broadcasted_iota(jnp.int32, m_ref.shape, 1)
+            m_col = m_ref[:, 0:1]
+            l_col = l_ref[:, 0:1]
+            ml_ref[0] = jnp.where(lane == 0, m_col, jnp.where(lane == 1, l_col, 0.0))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "scale", "interpret", "max_pages_per_chunk")
+    jax.jit,
+    static_argnames=("block_size", "scale", "interpret", "max_pages_per_chunk", "return_ml"),
 )
 def paged_decode_attention_v2(
     q: jnp.ndarray,  # [B, nh, hd]
@@ -413,7 +466,11 @@ def paged_decode_attention_v2(
     interpret: bool = False,
     kv_scales=None,
     max_pages_per_chunk: int | None = None,  # test hook / tuning knob
-) -> jnp.ndarray:
+    return_ml: bool = False,  # also return [B, nh, 128] f32 (lane0=m, lane1=l)
+    k_tail=None,  # [B, T, nkv, hd] float: window-staged new K/V rows
+    v_tail=None,
+    tail_len=None,  # scalar int32: tail rows 0..tail_len attend
+):
     b, nh, hd = q.shape
     s, f = k_pool.shape
     nkv = f // hd
@@ -423,6 +480,7 @@ def paged_decode_attention_v2(
     kp = k_pool.reshape(num_blocks, block_size, f)
     vp = v_pool.reshape(num_blocks, block_size, f)
     quantized = kv_scales is not None
+    has_tail = k_tail is not None
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
     # chunk size: stay within ~4 MiB of double-buffered K+V VMEM
@@ -434,8 +492,14 @@ def paged_decode_attention_v2(
     num_chunks = -(-w // ppc)
     span = ppc * block_size
 
+    def _idx(fn):
+        # index maps take (grid..., *scalar_prefetch_refs)
+        if has_tail:
+            return lambda i, c, bt, ctx, tl: fn(i, c)
+        return lambda i, c, bt, ctx: fn(i, c)
+
     in_specs = [
-        pl.BlockSpec((1, nh, hd), lambda i, c, bt, ctx: (i, 0, 0)),
+        pl.BlockSpec((1, nh, hd), _idx(lambda i, c: (i, 0, 0))),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -449,6 +513,13 @@ def paged_decode_attention_v2(
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
         operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
         scratch += [pltpu.VMEM((2, span, scale_lanes), kv_scales.dtype)]
+    if has_tail:
+        t_max = k_tail.shape[1]
+        in_specs += [
+            pl.BlockSpec((1, t_max, f), _idx(lambda i, c: (i, 0, 0))),
+            pl.BlockSpec((1, t_max, f), _idx(lambda i, c: (i, 0, 0))),
+        ]
+        operands += [k_tail.reshape(b, t_max, f), v_tail.reshape(b, t_max, f)]
     scratch += [
         pltpu.VMEM((nh, 128), jnp.float32),  # m
         pltpu.VMEM((nh, 128), jnp.float32),  # l
@@ -456,11 +527,22 @@ def paged_decode_attention_v2(
         pltpu.SemaphoreType.DMA((2, 3 if quantized else 2)),
     ]
 
+    out_specs = pl.BlockSpec((1, nh, hd), _idx(lambda i, c: (i, 0, 0)))
+    out_shape = jax.ShapeDtypeStruct((b, nh, hd), q.dtype)
+    if return_ml:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, nh, 128), _idx(lambda i, c: (i, 0, 0))),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, nh, 128), jnp.float32)]
+    prefetch = [tables, context_lens.astype(jnp.int32)]
+    if has_tail:
+        prefetch.append(jnp.asarray(tail_len, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, num_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nh, hd), lambda i, c, bt, ctx: (i, 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
@@ -473,11 +555,13 @@ def paged_decode_attention_v2(
         pages_per_chunk=ppc,
         num_table_pages=w,
         quantized=quantized,
+        return_ml=return_ml,
+        has_tail=has_tail,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tables, context_lens.astype(jnp.int32), *operands)
+    )(*prefetch, *operands)

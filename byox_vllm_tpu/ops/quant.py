@@ -141,7 +141,9 @@ def _qmm_kernel(
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "interpret", "tile_m", "tile_k"))
+@functools.partial(
+    jax.jit, static_argnames=("bits", "interpret", "tile_m", "tile_k", "out_dtype")
+)
 def quant_matmul_pallas(
     x: jnp.ndarray,  # [N, K]
     wq: jnp.ndarray,  # [K, M] int8 or [K/2, M] nibble-packed int4
@@ -151,9 +153,11 @@ def quant_matmul_pallas(
     interpret: bool = False,
     tile_m: int = 1024,  # measured best at 8B shapes (fewer grid steps)
     tile_k: int = 2048,
+    out_dtype=None,  # default: x.dtype (f32 for the lm head: logits precision)
 ) -> jnp.ndarray:
     n, k = x.shape
     m = wq.shape[-1]
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     groups = scales.shape[0]
     gsize = k // groups
     # k-tiles span several quantization groups: fewer grid steps (grid-step
@@ -191,10 +195,13 @@ def quant_matmul_pallas(
             tn * tk * xb  # x block
             + (tk // pack_) * tm  # quantized weight block
             + (tk // gsize) * tm * 4  # scale block
-            + tn * tm * xb  # out block
+            + tn * tm * out_dtype.itemsize  # out block
         ) + tn * tm * 4  # accumulator scratch
 
-    budget = 13 * 1024 * 1024
+    # Mosaic's true scoped-stack usage runs ~4 MB above this model (extra
+    # staging copies beyond plain double-buffering), so leave headroom under
+    # the 16 MB scoped-vmem limit
+    budget = 9 * 1024 * 1024
     while vmem_bytes(tn, tk, tm) > budget:
         if tk >= 2 * 8 * gsize and k % (tk // 2) == 0:
             tk //= 2
@@ -212,7 +219,7 @@ def quant_matmul_pallas(
     return pl.pallas_call(
         functools.partial(
             _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize,
-            out_dtype=x.dtype, interpret=interpret,
+            out_dtype=out_dtype, interpret=interpret,
         ),
         grid=(num_n, num_m, num_k),
         in_specs=[
@@ -221,7 +228,7 @@ def quant_matmul_pallas(
             pl.BlockSpec((gpt, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, m), out_dtype),
         scratch_shapes=[pltpu.VMEM((tn, tm), jnp.float32)],
         interpret=interpret,
     )(x, wq, scales)
@@ -245,17 +252,24 @@ def dequantize(wq: jnp.ndarray, scales: jnp.ndarray, bits: int, dtype=jnp.bfloat
     return scaled.reshape(*wq.shape[:-2], k, m).astype(dtype)
 
 
-def quant_matmul(x: jnp.ndarray, w: dict, bits: int, backend: str = "auto") -> jnp.ndarray:
+def quant_matmul(
+    x: jnp.ndarray, w: dict, bits: int, backend: str = "auto", out_dtype=None
+) -> jnp.ndarray:
     """Dispatch: Pallas fused dequant-matmul on TPU, XLA dequant fallback
-    elsewhere. x [..., K]; returns [..., M]."""
+    elsewhere. x [..., K]; returns [..., M] (in out_dtype when given)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if backend != "dense" and (backend == "pallas" or on_tpu):
         try:
-            out = quant_matmul_pallas(x2, w["q"], w["s"], bits=bits, interpret=not on_tpu)
+            out = quant_matmul_pallas(
+                x2, w["q"], w["s"], bits=bits, interpret=not on_tpu, out_dtype=out_dtype
+            )
         except ValueError:  # K too small to tile on hardware
-            out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
+            out = (x2 @ dequantize(w["q"], w["s"], bits, x.dtype)).astype(out_dtype or x.dtype)
     else:
-        out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
-    return out.reshape(*lead, -1)
+        if out_dtype is not None and jnp.dtype(out_dtype) == jnp.float32:
+            out = x2.astype(jnp.float32) @ dequantize(w["q"], w["s"], bits, jnp.float32)
+        else:
+            out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
+    return out.reshape(*lead, -1).astype(out_dtype or x.dtype)

@@ -49,7 +49,11 @@ def qwen3_param_specs(params: dict) -> dict:
         "layers": {k: expand(k) for k in params["layers"]},
     }
     if "lm_head" in params:
-        specs["lm_head"] = P(M, None)
+        if isinstance(params["lm_head"], dict):
+            # int8 head stored pre-transposed [D, V_pad]: vocab on 'model'
+            specs["lm_head"] = {"q": P(None, M), "s": P(None, M)}
+        else:
+            specs["lm_head"] = P(M, None)
     return specs
 
 

@@ -54,7 +54,8 @@ def quantize_checkpoint(model_dir: str, out_dir: str, bits: int, dtype: str = "b
     spec = model_cls.spec_from_hf(hf)
     from dataclasses import replace
 
-    spec = replace(spec, quant_bits=bits)
+    head_bits = 8 if not spec.tie_word_embeddings else None
+    spec = replace(spec, quant_bits=bits, head_bits=head_bits)
     params = model_cls.load_params(model_dir, spec, jnp.dtype(dtype))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -64,6 +65,7 @@ def quantize_checkpoint(model_dir: str, out_dir: str, bits: int, dtype: str = "b
     meta = {
         "format": "byox_vllm_tpu.quantized.v1",
         "bits": bits,
+        "head_bits": head_bits,
         "dtype": dtype,
         "model_type": getattr(hf, "model_type", "qwen3"),
         "source": os.path.abspath(model_dir),

@@ -97,6 +97,11 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
 
         params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
         logger.info("quantized layer weights to int%d", spec.quant_bits)
+    if spec.head_bits is not None and not spec.tie_word_embeddings:
+        from byox_vllm_tpu.models.qwen3 import quantize_head
+
+        params["lm_head"] = quantize_head(params["lm_head"], spec.head_bits)
+        logger.info("quantized lm_head to int%d", spec.head_bits)
     logger.info("loaded %d tensors from %s", len(raw), path)
     return params
 

@@ -112,3 +112,23 @@ def test_preemption_with_lookahead_still_correct(tiny_model_dir):
         assert r["token_ids"] == o["token_ids"]
     # all blocks reclaimed at the end
     assert tight.scheduler.block_manager.num_free_blocks == 7
+
+
+def test_window_staged_decode_matches_default(tiny_model_dir):
+    """window_staged_decode=True (tail-operand attention + once-per-window
+    pool commit) must reproduce the default per-step-write greedy output."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    prompts = [list(range(10, 40)), list(range(50, 75)), [7]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12)
+    kwargs = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=16, num_decode_steps=4,
+    )
+    ref = LLM(tiny_model_dir, **kwargs).generate(prompts, sp, use_tqdm=False)
+    out = LLM(tiny_model_dir, window_staged_decode=True, **kwargs).generate(
+        prompts, sp, use_tqdm=False
+    )
+    for r, o in zip(ref, out):
+        assert r["token_ids"] == o["token_ids"]

@@ -181,3 +181,58 @@ def test_kernel_v2_multichunk_matches_dense(ppc):
         np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=1e-5, atol=1e-5
     )
     assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0
+
+
+def test_v2_kernel_tail_matches_dense_merge():
+    """Window-staged decode: the in-kernel tail chunk must equal attention
+    over pool+tail computed densely (the engine's dense fallback path)."""
+    from byox_vllm_tpu.ops.attention import decode_attention_with_tail
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+
+    rng = np.random.default_rng(5)
+    b, nh, nkv, hd, bs, w = 3, 8, 4, 128, 16, 4
+    ctx_lens = [20, 1, 0]  # pool tokens (pre-window); row 2 is padding
+    q4, k_pool, v_pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q = q4[:, 0]
+    t_max = 8
+    k_tail = jnp.asarray(rng.normal(size=(b, t_max, nkv, hd)), jnp.float32)
+    v_tail = jnp.asarray(rng.normal(size=(b, t_max, nkv, hd)), jnp.float32)
+    scale = hd**-0.5
+    for tail_len in (0, 3, 7):
+        out_kernel = paged_decode_attention_v2(
+            q, k_pool, v_pool, tables, ctx, block_size=bs, scale=scale,
+            interpret=True, k_tail=k_tail, v_tail=v_tail,
+            tail_len=jnp.int32(tail_len),
+        )
+        out_dense = decode_attention_with_tail(
+            q, k_pool, v_pool, tables, ctx, k_tail, v_tail,
+            jnp.int32(tail_len), bs, scale, backend="dense",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_kernel[:2]), np.asarray(out_dense[:2]), rtol=2e-5, atol=2e-5
+        )
+        # padding row (pool ctx 0 => pool_ctx<=0): kernel zeroes it
+        assert np.all(np.isfinite(np.asarray(out_kernel[2])))
+
+
+def test_v2_kernel_return_ml():
+    """m/l outputs must reproduce the softmax stats of the dense path."""
+    rng = np.random.default_rng(6)
+    b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 4
+    ctx_lens = [20, 33]
+    from byox_vllm_tpu.ops.attention import _paged_attention_ml
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+
+    q4, k_pool, v_pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q = q4[:, 0]
+    scale = hd**-0.5
+    out, ml = paged_decode_attention_v2(
+        q, k_pool, v_pool, tables, ctx, block_size=bs, scale=scale,
+        interpret=True, return_ml=True,
+    )
+    o_d, m_d, l_d = _paged_attention_ml(
+        q, k_pool, v_pool, tables, ctx, bs, scale, backend="dense"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(o_d), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ml[..., 0]), np.asarray(m_d), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ml[..., 1]), np.asarray(l_d), rtol=1e-5, atol=1e-5)

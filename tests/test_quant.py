@@ -186,3 +186,43 @@ def test_offline_quantize_roundtrip(tmp_path, bits):
     online = LLM(str(src), quantization=quant, **common).generate(prompts, sp, use_tqdm=False)
     offline = LLM(str(packed), **common).generate(prompts, sp, use_tqdm=False)
     assert online[0]["token_ids"] == offline[0]["token_ids"]
+
+
+def test_quantized_lm_head_matches_dense():
+    """int8 pre-transposed V-padded head: logits must match the bf16 einsum
+    within int8 quantization error, and padded vocab columns are sliced off."""
+    import numpy as np
+    from byox_vllm_tpu.models.qwen3 import quantize_head
+    from byox_vllm_tpu.ops.quant import quant_matmul
+
+    rng = np.random.default_rng(0)
+    v, d, b = 500, 256, 4  # v deliberately not a multiple of anything nice
+    lm_head = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32)) * 0.05
+    h = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    qh = quantize_head(lm_head, 8)
+    assert qh["q"].shape == (d, 1024)  # padded to a 1024 multiple
+    ref = np.asarray(h @ lm_head.T)
+    out = np.asarray(quant_matmul(h, qh, 8, out_dtype=jnp.float32)[..., :v])
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
+def test_engine_quantized_untied_head():
+    """End-to-end engine run with an untied, int8-quantized LM head."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 512, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": False, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    llm = LLM(hf_config=cfg, max_model_len=64, max_num_batched_tokens=256,
+              num_kvcache_blocks=32, kvcache_block_size=16, quantization="int8")
+    assert llm.model_runner.spec.head_bits == 8
+    assert isinstance(llm.model_runner.params["lm_head"], dict)
+    sp = SamplingParams(max_tokens=6, ignore_eos=True, temperature=0.0)
+    out = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
+    assert len(out[0]["token_ids"]) == 6
+    assert all(0 <= t < 512 for t in out[0]["token_ids"])  # no padded-vocab ids
