@@ -51,6 +51,11 @@ class Config:
     # adds ~3 ms/step) — kept for configs where it wins (small batches,
     # future cheap-commit paths).
     window_staged_decode: bool = False
+    # Fused store-and-attend decode: the v3 attention kernel DMAs the new
+    # K/V rows into the aliased pools itself (replaces ~3.2 ms/step of XLA
+    # row scatters at B=128 on 8B). OFF until validated on real hardware —
+    # an in-kernel semaphore bug would hang the chip.
+    fused_decode_store: bool = False
     # async pipelined decode: dispatch window n+1 from window n's on-device
     # tokens before fetching window n, hiding the host<->device round trip
     # under device compute (the TPU analogue of vLLM's async scheduling)

@@ -197,6 +197,7 @@ class ModelRunner:
                 block_size=self.block_size,
                 attention_backend=config.attention_backend,
                 window_staged=config.window_staged_decode,
+                fused_store=config.fused_decode_store,
             ),
             donate_argnums=(1,),  # kv_cache
         )
@@ -278,9 +279,9 @@ class ModelRunner:
         if padded.seeds is not None:
             seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
         if is_prefill:
-            runs = None
-            if self.config.kv_cache_dtype == "auto":
-                runs = _prefill_write_runs(seqs, padded.token_ids.shape[1], self.block_size)
+            # block-DUS KV stores for both bf16 and int8 pools (the int8
+            # variant quantizes once then DUSes all three pools)
+            runs = _prefill_write_runs(seqs, padded.token_ids.shape[1], self.block_size)
             tokens, self.kv_cache = self._step(
                 self.params,
                 self.kv_cache,
@@ -479,6 +480,7 @@ def _multi_decode_step(
     block_size,
     attention_backend="auto",
     window_staged=False,
+    fused_store=False,
 ):
     """K decode iterations in one device program: each iteration's sampled
     token feeds the next iteration's forward without leaving the chip. The
@@ -523,6 +525,8 @@ def _multi_decode_step(
                 params, kv, tokens[:, None], ones, context_lens + step_idx,
                 slots_k[:, None], block_tables, spec, block_size,
                 attention_fn=attention_fn,
+                attention_backend=attention_backend,
+                fused_store=fused_store,
             )
             next_tokens = sample(logits, step_idx)
             return (next_tokens, kv), next_tokens

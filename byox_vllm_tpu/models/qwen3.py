@@ -213,6 +213,7 @@ def forward(
     decode_tails: Any = None,  # per-layer (k_tail, v_tail) [B, T, nkv, hd]: window-staged decode
     tail_index: Any = None,  # scalar int32 step-within-window (with decode_tails)
     attention_backend: str = "auto",
+    fused_store: bool = False,  # decode: kernel-side KV store (config.fused_decode_store)
 ) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
@@ -284,8 +285,30 @@ def forward(
                 k_tail, v_tail, tail_index, block_size, scale,
                 kv_scales=kv_scales, backend=attention_backend,
             )[:, None]
+        elif tq == 1 and fused_store:
+            # decode: fused store-and-attend (the kernel writes the new
+            # K/V rows into the aliased pools itself; no XLA scatter)
+            from byox_vllm_tpu.ops.attention import decode_attention_store
+
+            o, lay = decode_attention_store(
+                q[:, 0], kv_cache[i], block_tables, context_lens,
+                k_flat, v_flat, flat_slots, block_size, scale,
+                backend=attention_backend,
+            )
+            o = o[:, None]
+            new_kv.append(lay)
         else:
-            if len(kv_cache[i]) == 3:  # int8 KV cache + unified [S, 128] scale pool
+            if len(kv_cache[i]) == 3 and write_runs is not None:
+                # int8 prefill store on the block-DUS fast path
+                from byox_vllm_tpu.ops.kv_cache import write_kv_runs_quant
+
+                k_pool, v_pool, sc = write_kv_runs_quant(
+                    *kv_cache[i], k_flat, v_flat,
+                    write_runs[0], write_runs[1], block_size,
+                )
+                new_kv.append((k_pool, v_pool, sc))
+                kv_scales = sc
+            elif len(kv_cache[i]) == 3:  # int8 KV + unified [S, 128] scale pool
                 k_pool, v_pool, sc = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
                 new_kv.append((k_pool, v_pool, sc))
                 kv_scales = sc

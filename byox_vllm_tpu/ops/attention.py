@@ -47,18 +47,26 @@ def paged_attention(
     # other head dims (64/80/96) Mosaic-fail today -> dense fallback
     use_pallas = use_pallas and q.shape[-1] == 128
     if tq == 1 and use_pallas:
-        # v2 (chunked manual-DMA) is the default: measured 422 GB/s at ctx
-        # 504 vs 36 GB/s for the (B, W) BlockSpec pipeline (v1), and ~1.4x
-        # faster at short contexts too
-        if os.environ.get("BYOX_DECODE_KERNEL", "v2") == "v1":
+        # v3 (chunked manual-DMA, SB sequences per grid step) is the default:
+        # v2's per-sequence grid steps left ~0.8 us/seq of fixed cost (the
+        # dependent s->exp->pv matmul chain); batching 4 independent chains
+        # per step measured 128 vs 157 us at B=128/ctx150/int8 (8B shapes).
+        kver = os.environ.get("BYOX_DECODE_KERNEL", "v3")
+        b = q.shape[0]
+        kwargs = {}
+        if kver == "v1":
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention as kernel
-        else:
+        elif kver == "v2" or b % 4:
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2 as kernel
+        else:
+            from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3 as kernel
+
+            kwargs["seqs_per_step"] = 4
 
         out = kernel(
             q[:, 0], k_pool, v_pool, block_tables, context_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
-            kv_scales=kv_scales,
+            kv_scales=kv_scales, **kwargs,
         )
         return out[:, None]
     if tq > 1 and use_pallas and tq % min(128, tq) == 0:
@@ -74,6 +82,73 @@ def paged_attention(
         q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
         kv_scales=kv_scales,
     )
+
+
+def decode_attention_store(
+    q,  # [B, nh, hd]
+    layer_cache,  # (k_pool, v_pool) or (k_pool, v_pool, kv_scale)
+    block_tables,
+    context_lens,  # [B] total tokens INCLUDING the current one
+    k_new, v_new,  # [B, nkv, hd] float: the current token's K/V
+    slots,  # [B] int32 slot of the current token, -1 = padding
+    block_size, scale,
+    backend: str = "auto",
+):
+    """Fused store-and-attend decode step: the attention kernel DMAs the new
+    K/V (and scale) rows into the aliased pools itself and the current token
+    attends via the in-kernel tail term — no XLA scatter at all (measured
+    ~3.2 ms/step at B=128 on 8B for the 36x3 per-row scatters it replaces).
+    Returns (out [B, nh, hd], new_layer_cache)."""
+    from byox_vllm_tpu.ops.kv_cache import quantize_kv_rows, write_kv, write_kv_quant
+
+    b, nh, hd = q.shape
+    quantized = len(layer_cache) == 3
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
+    if use_pallas and hd == 128 and b % 4 == 0:
+        from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
+
+        if quantized:
+            kq, vq, sc_rows = quantize_kv_rows(k_new, v_new)
+            out = paged_decode_attention_v3(
+                q, layer_cache[0], layer_cache[1], block_tables,
+                context_lens - 1,  # pool holds everything but the current token
+                block_size=block_size, scale=scale, interpret=not on_tpu,
+                kv_scales=layer_cache[2], seqs_per_step=4,
+                k_tail=k_new.astype(jnp.bfloat16)[:, None],
+                v_tail=v_new.astype(jnp.bfloat16)[:, None],
+                tail_len=jnp.int32(0),
+                store_slots=slots, k_store=kq, v_store=vq, sc_store=sc_rows,
+            )
+            o, kp, vp, sc = out
+            return o, (kp, vp, sc)
+        kq = k_new.reshape(b, -1).astype(layer_cache[0].dtype)
+        vq = v_new.reshape(b, -1).astype(layer_cache[1].dtype)
+        o, kp, vp = paged_decode_attention_v3(
+            q, layer_cache[0], layer_cache[1], block_tables, context_lens - 1,
+            block_size=block_size, scale=scale, interpret=not on_tpu,
+            seqs_per_step=4,
+            k_tail=k_new.astype(layer_cache[0].dtype)[:, None],
+            v_tail=v_new.astype(layer_cache[1].dtype)[:, None],
+            tail_len=jnp.int32(0),
+            store_slots=slots, k_store=kq, v_store=vq,
+        )
+        return o, (kp, vp)
+    # fallback: separate write + attend (CPU / unsupported shapes)
+    if quantized:
+        kp, vp, sc = write_kv_quant(*layer_cache, k_new, v_new, slots)
+        lay = (kp, vp, sc)
+        kv_scales = sc
+    else:
+        kp, vp = write_kv(layer_cache[0], layer_cache[1], k_new, v_new, slots)
+        lay = (kp, vp)
+        kv_scales = None
+    positions = (context_lens - 1)[:, None]
+    o = paged_attention(
+        q[:, None], kp, vp, block_tables, context_lens, positions, block_size,
+        scale, backend=backend, kv_scales=kv_scales,
+    )
+    return o[:, 0], lay
 
 
 def decode_attention_with_tail(
@@ -101,9 +176,18 @@ def decode_attention_with_tail(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
     if use_pallas and hd == 128:
-        # the v2 kernel processes the tail as one extra online-softmax chunk
+        # the kernel processes the tail as one extra online-softmax chunk
         # in-kernel — an XLA-side merge costs ~6 ms/step at B=128 on 8B in
         # tiny batched einsums, more than the scatters it saves
+        if b % 4 == 0:
+            from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
+
+            return paged_decode_attention_v3(
+                q, k_pool, v_pool, block_tables, pool_ctx,
+                block_size=block_size, scale=scale, interpret=not on_tpu,
+                kv_scales=kv_scales, k_tail=k_tail, v_tail=v_tail,
+                tail_len=tail_index, seqs_per_step=4,
+            )
         from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
 
         return paged_decode_attention_v2(

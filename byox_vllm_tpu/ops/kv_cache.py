@@ -70,6 +70,27 @@ KV_QMAX = 127.0
 SCALE_LANES = 128
 
 
+def quantize_kv_rows(k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """[N, nkv, hd] float K/V rows -> (kq [N, nkv*hd] int8, vq int8,
+    scale_rows [N, SCALE_LANES] bf16) in the unified pool layout. The scale
+    is rounded to bf16 BEFORE quantizing so every dequant path (kernel, XLA
+    fallback) reproduces the stored values bit-identically."""
+    n, nkv, hd = k_new.shape
+    assert 2 * nkv <= SCALE_LANES, f"nkv={nkv} too large for the scale row"
+
+    def quantize(rows):
+        rows = rows.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1), 1e-8) / KV_QMAX  # [N, nkv]
+        scale = scale.astype(jnp.bfloat16)
+        q = jnp.clip(jnp.round(rows / scale.astype(jnp.float32)[..., None]), -KV_QMAX, KV_QMAX)
+        return q.reshape(n, nkv * hd).astype(jnp.int8), scale
+
+    kq, ks = quantize(k_new)
+    vq, vs = quantize(v_new)
+    pad = jnp.zeros((n, SCALE_LANES - 2 * nkv), jnp.bfloat16)
+    return kq, vq, jnp.concatenate([ks, vs, pad], axis=-1)
+
+
 def write_kv_quant(
     k_pool: jnp.ndarray,  # [S, nkv*hd] int8
     v_pool: jnp.ndarray,  # [S, nkv*hd] int8
@@ -81,21 +102,8 @@ def write_kv_quant(
     """Per-(token, head) symmetric int8 quantization at cache-write time.
     All three scatters are leading-axis (in-place, see module docstring)."""
     num_slots = k_pool.shape[0]
-    n, nkv, hd = k_new.shape
-    assert 2 * nkv <= SCALE_LANES, f"nkv={nkv} too large for the scale row"
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
-
-    def quantize(rows):
-        rows = rows.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1), 1e-8) / KV_QMAX  # [N, nkv]
-        scale = scale.astype(jnp.bfloat16)  # round FIRST: kernel dequant must match
-        q = jnp.clip(jnp.round(rows / scale.astype(jnp.float32)[..., None]), -KV_QMAX, KV_QMAX)
-        return q.reshape(n, nkv * hd).astype(jnp.int8), scale
-
-    kq, ks = quantize(k_new)
-    vq, vs = quantize(v_new)
-    pad = jnp.zeros((n, SCALE_LANES - 2 * nkv), jnp.bfloat16)
-    scale_rows = jnp.concatenate([ks, vs, pad], axis=-1)  # [N, SCALE_LANES]
+    kq, vq, scale_rows = quantize_kv_rows(k_new, v_new)
     k_pool = k_pool.at[slots].set(kq, mode="drop")
     v_pool = v_pool.at[slots].set(vq, mode="drop")
     kv_scale = kv_scale.at[slots].set(scale_rows, mode="drop")
@@ -162,3 +170,41 @@ def write_kv_runs(
         return kp, vp
 
     return jax.lax.fori_loop(0, run_dst.shape[0], body, (k_pool, v_pool))
+
+
+def write_kv_runs_quant(
+    k_pool: jnp.ndarray,  # [S, nkv*hd] int8
+    v_pool: jnp.ndarray,  # [S, nkv*hd] int8
+    kv_scale: jnp.ndarray,  # [S, SCALE_LANES] bf16
+    k_new: jnp.ndarray,  # [N, nkv, hd] float
+    v_new: jnp.ndarray,  # [N, nkv, hd] float
+    run_dst: jnp.ndarray,  # [R] int32 (block-aligned pool rows)
+    run_src: jnp.ndarray,  # [R] int32
+    block_size: int,
+):
+    """INT8 variant of write_kv_runs: quantize all rows once, then store
+    K/V/scale via block-sized dynamic-update-slices. Replaces the prefill
+    row scatter, which at 8B scale cost ~0.5 ms per layer (row-serial on
+    TPU; ~50 ms of a ~300 ms prefill step across 36 layers x 3 pools)."""
+    n = k_new.shape[0]
+    f = k_pool.shape[1]
+    kq, vq, sc_rows = quantize_kv_rows(k_new, v_new)
+    kf = jnp.concatenate([kq, jnp.zeros((block_size, f), kq.dtype)])
+    vf = jnp.concatenate([vq, jnp.zeros((block_size, f), vq.dtype)])
+    sf = jnp.concatenate([sc_rows, jnp.zeros((block_size, SCALE_LANES), sc_rows.dtype)])
+
+    def body(i, pools):
+        kp, vp, sp = pools
+        src, dst = run_src[i], run_dst[i]
+        kp = jax.lax.dynamic_update_slice_in_dim(
+            kp, jax.lax.dynamic_slice_in_dim(kf, src, block_size), dst, 0
+        )
+        vp = jax.lax.dynamic_update_slice_in_dim(
+            vp, jax.lax.dynamic_slice_in_dim(vf, src, block_size), dst, 0
+        )
+        sp = jax.lax.dynamic_update_slice_in_dim(
+            sp, jax.lax.dynamic_slice_in_dim(sf, src, block_size), dst, 0
+        )
+        return kp, vp, sp
+
+    return jax.lax.fori_loop(0, run_dst.shape[0], body, (k_pool, v_pool, kv_scale))

@@ -565,3 +565,441 @@ def paged_decode_attention_v2(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*prefetch, *operands)
+
+
+# ---------------------------------------------------------------------------
+# v3 decode kernel: v2's chunked manual-DMA pipeline, but each grid step
+# processes SB sequences.
+#
+# Microbenching v2 at B=128 showed ~0.8 us/sequence of FIXED grid-step cost
+# vs ~0.14 us/page of DMA slope — dominated by each sequence's dependent
+# matmul chain (s -> exp -> pv) plus step machinery. Batching SB sequences
+# per grid step keeps per-seq matmuls (a single block-diagonal matmul was
+# tried first: its SBx wasted MXU flops ate the win) but makes the SB chains
+# data-independent within one step, so Mosaic's scheduler overlaps them and
+# the step machinery amortizes.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_v3(
+    # scalar prefetch
+    block_tables_ref,  # [B, W] int32 (SMEM)
+    context_lens_ref,  # [B] int32 (SMEM)
+    *rest,  # [tail_len_ref if has_tail], [store_slots_ref if store],
+    #         q_ref, k_hbm, v_hbm, [sc_hbm if int8],
+    #         [k_tail_ref, v_tail_ref if has_tail],
+    #         [k_store_ref, v_store_ref, (sc_store_ref) if store],
+    #         o_ref, [kp_out, vp_out, (sc_out) if store],
+    #         kbuf, vbuf, [scbuf], m/l/acc scratch, sems, [store_sems]
+    scale: float,
+    block_size: int,
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+    pages_per_chunk: int,
+    num_table_pages: int,
+    quantized: bool,
+    has_tail: bool,
+    sb: int,  # sequences per grid step
+    store: bool = False,  # fused KV-store: DMA the new rows into the pools
+):
+    rest = list(rest)
+    tail_len_ref = rest.pop(0) if has_tail else None
+    store_slots_ref = rest.pop(0) if store else None
+    q_ref = rest.pop(0)  # [SB, nh, hd]
+    k_hbm = rest.pop(0)
+    v_hbm = rest.pop(0)
+    sc_hbm = rest.pop(0) if quantized else None
+    k_tail_ref = rest.pop(0) if has_tail else None  # [SB, T, F]
+    v_tail_ref = rest.pop(0) if has_tail else None
+    k_store_ref = rest.pop(0) if store else None  # [SB, F]
+    v_store_ref = rest.pop(0) if store else None
+    sc_store_ref = rest.pop(0) if (store and quantized) else None
+    o_ref = rest.pop(0)  # [SB, nh, hd]
+    kp_out = rest.pop(0) if store else None  # aliased pools (ANY)
+    vp_out = rest.pop(0) if store else None
+    sc_out = rest.pop(0) if (store and quantized) else None
+    store_sems = rest.pop() if store else None
+    if quantized:
+        kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
+    else:
+        kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
+        scbuf = None
+    gi = pl.program_id(0)
+    c = pl.program_id(1)
+    num_groups = pl.num_programs(0)
+    num_chunks = pl.num_programs(1)
+    ppc = pages_per_chunk
+    span = ppc * block_size
+    nh = num_kv_heads * group
+    f = num_kv_heads * head_dim
+    R = sb * nh
+
+    def valid_pages_of(i):
+        ctx = context_lens_ref[i]
+        return jnp.clip(pl.cdiv(ctx, block_size), 0, num_table_pages)
+
+    def page_copies(gi_, cc, slot, s_i, j):
+        i = gi_ * sb + s_i
+        page = block_tables_ref[i, cc * ppc + j]
+        pairs = [(k_hbm, kbuf), (v_hbm, vbuf)]
+        if quantized:
+            pairs += [(sc_hbm, scbuf)]
+        return [
+            pltpu.make_async_copy(
+                src.at[page],
+                dst.at[slot, pl.ds(s_i * span + j * block_size, block_size), :],
+                sems.at[slot, idx],
+            )
+            for idx, (src, dst) in enumerate(pairs)
+        ]
+
+    def start_fetch(gi_, cc, slot):
+        for s_i in range(sb):
+            n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
+            for j in range(ppc):
+                @pl.when(j < n_valid)
+                def _():
+                    for cp in page_copies(gi_, cc, slot, s_i, j):
+                        cp.start()
+
+    def wait_fetch(gi_, cc, slot):
+        for s_i in range(sb):
+            n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
+            for j in range(ppc):
+                @pl.when(j < n_valid)
+                def _():
+                    for cp in page_copies(gi_, cc, slot, s_i, j):
+                        cp.wait()
+
+    @pl.when((gi == 0) & (c == 0))
+    def _warmup():
+        start_fetch(0, 0, 0)
+
+    g = gi * num_chunks + c
+    slot = jax.lax.rem(g, 2)
+    next_slot = jax.lax.rem(g + 1, 2)
+    last_chunk = c == num_chunks - 1
+    ng = jnp.where(last_chunk, gi + 1, gi)
+    nc = jnp.where(last_chunk, 0, c + 1)
+
+    @pl.when(ng < num_groups)
+    def _prefetch():
+        start_fetch(ng, nc, next_slot)
+
+    wait_fetch(gi, c, slot)
+
+    if store:
+        # Fused KV store: DMA this step's new rows (pre-quantized in XLA)
+        # into the aliased pools. Rows are first vector-copied into a
+        # parity-buffered scratch (the pipelined input block may be
+        # overwritten by prefetch before a late DMA reads it), then written
+        # row-by-row at each sequence's slot. Group gi's writes are waited
+        # at group gi+1 (overlapped); the final group waits its own so the
+        # pools are complete when the kernel returns. The attention itself
+        # never needs these rows: the pool context excludes the current
+        # token, which attends via the tail term.
+        srcs = [k_store_ref, v_store_ref] + ([sc_store_ref] if quantized else [])
+        dsts = [kp_out, vp_out] + ([sc_out] if quantized else [])
+
+        def store_copy(gi_, s_i, srow, parity, idx):
+            # src is the FULL [B, lanes] rows block (constant index map, so
+            # the pipeline never rotates it — safe to DMA from across steps);
+            # every pool (K, V, scales) is page-shaped [nb, bs, lanes]
+            return pltpu.make_async_copy(
+                srcs[idx].at[pl.ds(gi_ * sb + s_i, 1), :],
+                dsts[idx].at[srow // block_size, pl.ds(jax.lax.rem(srow, block_size), 1), :],
+                store_sems.at[parity, idx],
+            )
+
+        def wait_stores(gi_, parity):
+            for s_i in range(sb):
+                srow = store_slots_ref[gi_ * sb + s_i]
+                @pl.when(srow >= 0)
+                def _(s_i=s_i, srow=srow):
+                    for idx in range(len(srcs)):
+                        store_copy(gi_, s_i, srow, parity, idx).wait()
+
+        parity = jax.lax.rem(gi, 2)
+
+        @pl.when(c == num_chunks - 1)
+        def _store():
+            @pl.when(gi > 0)
+            def _():
+                wait_stores(gi - 1, 1 - parity)
+            for s_i in range(sb):
+                srow = store_slots_ref[gi * sb + s_i]
+                @pl.when(srow >= 0)
+                def _(s_i=s_i, srow=srow):
+                    for idx in range(len(srcs)):
+                        store_copy(gi, s_i, srow, parity, idx).start()
+            @pl.when(gi == num_groups - 1)
+            def _():
+                wait_stores(gi, parity)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    local = [context_lens_ref[gi * sb + s_i] - c * span for s_i in range(sb)]
+    cdt = jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
+    # per-sequence one-hot of each query head's kv head: [nh, nkv]
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 0) // group
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 1)
+    onehot = (head_of == kv_idx).astype(jnp.float32)
+    if quantized:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 1)
+        hof = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 0) // group
+        oh_k = (lane == hof).astype(cdt)
+        oh_v = (lane == hof + num_kv_heads).astype(cdt)
+
+    def online_update(s_i, s, valid, v, vs_heads=None):
+        """Online-softmax accumulation for sequence s_i's row block of the
+        m/l/acc scratch. Chains of different s_i are data-independent."""
+        rows = slice(s_i * nh, (s_i + 1) * nh)
+        s = jnp.where(valid, s, _NEG_INF)
+        m_prev = m_ref[rows, 0:1]
+        l_prev = l_ref[rows, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[rows, 0:1] = m_new
+        if vs_heads is not None:
+            # scale rows past ctx are unfetched VMEM (may be NaN): re-mask
+            p = jnp.where(valid, p * vs_heads, 0.0)
+        pv = jax.lax.dot_general(
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [nh, F]
+        pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
+        acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+
+    for s_i in range(sb):
+        @pl.when(local[s_i] > 0)
+        def _chunk(s_i=s_i):
+            rows = slice(s_i * span, (s_i + 1) * span)
+            k = kbuf[slot, rows, :].astype(cdt)  # [span, F]
+            v = vbuf[slot, rows, :].astype(cdt)
+            # zero unfetched V rows (NaN x 0 = NaN through the PV matmul)
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
+            v = jnp.where(vrow < local[s_i], v, 0.0)
+
+            q = q_ref[s_i].astype(jnp.float32)  # [nh, hd]
+            qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
+            s = jax.lax.dot_general(
+                qe, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [nh, span]
+            col = jax.lax.broadcasted_iota(jnp.int32, (nh, span), 1)
+            valid = col < local[s_i]
+            vs_heads = None
+            if quantized:
+                sc = scbuf[slot, rows, :].astype(cdt)  # [span, 128]
+                ks_heads = jax.lax.dot_general(
+                    oh_k, sc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [nh, span]
+                s = s * ks_heads
+                vs_heads = jax.lax.dot_general(
+                    oh_v, sc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            online_update(s_i, s, valid, v, vs_heads)
+
+    if has_tail:
+        t_max = k_tail_ref.shape[1]
+        for s_i in range(sb):
+            @pl.when(last_chunk & (context_lens_ref[gi * sb + s_i] > 0))
+            def _tail(s_i=s_i):
+                tl = tail_len_ref[0]
+                kt = k_tail_ref[s_i].astype(cdt)  # [T, F]
+                vt = v_tail_ref[s_i].astype(cdt)
+                trow = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
+                vt = jnp.where(trow <= tl, vt, 0.0)
+                q = q_ref[s_i].astype(jnp.float32)
+                qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
+                s = jax.lax.dot_general(
+                    qe, kt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [nh, T]
+                col = jax.lax.broadcasted_iota(jnp.int32, (nh, t_max), 1)
+                online_update(s_i, s, col <= tl, vt)
+
+    @pl.when(last_chunk)
+    def _finish():
+        l = jnp.maximum(l_ref[:, 0:1], 1e-20)
+        out = acc_ref[...] / l
+        # fully-masked padding rows (ctx <= 0) must produce zeros; build the
+        # per-row ctx arithmetically (Mosaic rejects i1-vector selects)
+        orow = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        octx = jnp.zeros((R, 1), jnp.int32)
+        for s_i in range(sb):
+            octx = jnp.where(orow // nh == s_i, context_lens_ref[gi * sb + s_i], octx)
+        out = jnp.where(octx > 0, out, 0.0)
+        o_ref[...] = out.reshape(sb, nh, head_dim).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step"),
+)
+def paged_decode_attention_v3(
+    q: jnp.ndarray,  # [B, nh, hd]
+    k_pool: jnp.ndarray,  # [S, nkv*hd]
+    v_pool: jnp.ndarray,  # [S, nkv*hd]
+    block_tables: jnp.ndarray,  # [B, W] int32, -1 padding
+    context_lens: jnp.ndarray,  # [B] int32
+    *,
+    block_size: int,
+    scale: float,
+    interpret: bool = False,
+    kv_scales=None,
+    max_pages_per_chunk: int | None = None,
+    seqs_per_step: int = 4,
+    k_tail=None,  # [B, T, nkv, hd] float: window-staged new K/V rows
+    v_tail=None,
+    tail_len=None,  # scalar int32: tail rows 0..tail_len attend
+    store_slots=None,  # [B] int32 (-1 = skip): fused KV store at these slots
+    k_store=None,  # [B, F] pool-dtype new rows (pre-quantized when int8)
+    v_store=None,
+    sc_store=None,  # [B, SCALE_LANES] bf16 scale rows (int8 pools)
+):
+    b, nh, hd = q.shape
+    s, f = k_pool.shape
+    nkv = f // hd
+    w = block_tables.shape[1]
+    group = nh // nkv
+    num_blocks = s // block_size
+    kp = k_pool.reshape(num_blocks, block_size, f)
+    vp = v_pool.reshape(num_blocks, block_size, f)
+    quantized = kv_scales is not None
+    has_tail = k_tail is not None
+    store = store_slots is not None
+    sb = seqs_per_step
+    assert b % sb == 0, (b, sb)
+    tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
+
+    # chunk size: stay within ~4 MiB of double-buffered K+V VMEM per seq set
+    budget = 4 * 1024 * 1024
+    bytes_per_page = block_size * f * k_pool.dtype.itemsize * 2 * 2 * sb
+    ppc = max(1, min(w, budget // max(bytes_per_page, 1)))
+    if max_pages_per_chunk is not None:
+        ppc = max(1, min(ppc, max_pages_per_chunk))
+    num_chunks = -(-w // ppc)
+    span = ppc * block_size
+
+    nsp = 2 + (1 if has_tail else 0) + (1 if store else 0)
+
+    def _idx(fn):
+        # index maps take (grid..., *scalar_prefetch_refs)
+        if has_tail and store:
+            return lambda i, c, bt, ctx, tl, ss: fn(i, c)
+        if has_tail or store:
+            return lambda i, c, bt, ctx, _x: fn(i, c)
+        return lambda i, c, bt, ctx: fn(i, c)
+
+    in_specs = [
+        pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0))),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [q, kp, vp]
+    scratch = [
+        pltpu.VMEM((2, sb * span, f), k_pool.dtype),
+        pltpu.VMEM((2, sb * span, f), v_pool.dtype),
+    ]
+    if quantized:
+        scale_lanes = kv_scales.shape[1]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+        operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
+        scratch += [pltpu.VMEM((2, sb * span, scale_lanes), kv_scales.dtype)]
+    if has_tail:
+        t_max = k_tail.shape[1]
+        in_specs += [
+            pl.BlockSpec((sb, t_max, f), _idx(lambda i, c: (i, 0, 0))),
+            pl.BlockSpec((sb, t_max, f), _idx(lambda i, c: (i, 0, 0))),
+        ]
+        operands += [k_tail.reshape(b, t_max, f), v_tail.reshape(b, t_max, f)]
+    nbuf = 3 if quantized else 2
+    out_specs = [pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0)))]
+    out_shape = [jax.ShapeDtypeStruct((b, nh, hd), q.dtype)]
+    input_output_aliases = {}
+    if store:
+        # full-array blocks (constant index map): small enough for VMEM and
+        # per-group row blocks would violate the (8, 128) min block shape
+        in_specs += [
+            pl.BlockSpec((b, f), _idx(lambda i, c: (0, 0))),
+            pl.BlockSpec((b, f), _idx(lambda i, c: (0, 0))),
+        ]
+        operands += [k_store, v_store]
+        if quantized:
+            in_specs += [pl.BlockSpec((b, kv_scales.shape[1]), _idx(lambda i, c: (0, 0)))]
+            operands += [sc_store]
+        # pools come back as aliased outputs (zero-copy in-place update)
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nbuf
+        out_shape += [
+            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+        ]
+        if quantized:
+            out_shape += [
+                jax.ShapeDtypeStruct((num_blocks, block_size, kv_scales.shape[1]), kv_scales.dtype)
+            ]
+        # alias indices count every positional operand incl. scalar prefetch
+        kp_pos = nsp + 1  # after prefetch args and q
+        input_output_aliases = {kp_pos: 1, kp_pos + 1: 2}
+        if quantized:
+            input_output_aliases[kp_pos + 2] = 3
+    scratch += [
+        pltpu.VMEM((sb * nh, 128), jnp.float32),  # m
+        pltpu.VMEM((sb * nh, 128), jnp.float32),  # l
+        pltpu.VMEM((sb * nh, hd), jnp.float32),  # acc
+        pltpu.SemaphoreType.DMA((2, nbuf)),
+    ]
+    if store:
+        scratch += [pltpu.SemaphoreType.DMA((2, nbuf))]
+
+    prefetch = [tables, context_lens.astype(jnp.int32)]
+    if has_tail:
+        prefetch.append(jnp.asarray(tail_len, jnp.int32).reshape(1))
+    if store:
+        prefetch.append(store_slots.astype(jnp.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(b // sb, num_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs if store else out_specs[0],
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _decode_kernel_v3,
+        scale=scale,
+        block_size=block_size,
+        num_kv_heads=nkv,
+        group=group,
+        head_dim=hd,
+        pages_per_chunk=ppc,
+        num_table_pages=w,
+        quantized=quantized,
+        has_tail=has_tail,
+        sb=sb,
+        store=store,
+    )
+    result = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape if store else out_shape[0],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases=input_output_aliases,
+    )(*prefetch, *operands)
+    if not store:
+        return result
+    o = result[0]
+    kp_new = result[1].reshape(s, f)
+    vp_new = result[2].reshape(s, f)
+    if quantized:
+        return o, kp_new, vp_new, result[3].reshape(s, kv_scales.shape[1])
+    return o, kp_new, vp_new

@@ -236,3 +236,149 @@ def test_v2_kernel_return_ml():
     np.testing.assert_allclose(np.asarray(out), np.asarray(o_d), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ml[..., 0]), np.asarray(m_d), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ml[..., 1]), np.asarray(l_d), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sb", [2, 4])
+def test_v3_kernel_matches_dense(sb):
+    """SB-batched kernel (block-diagonal masking) vs the dense fallback,
+    ragged contexts including zero-context padding rows."""
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
+
+    rng = np.random.default_rng(7)
+    b, nh, nkv, hd, bs, w = 8, 8, 4, 128, 16, 6
+    ctx_lens = [7, 33, 0, 96, 16, 1, 50, 0]
+    q4, k_pool, v_pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    scale = hd**-0.5
+    positions = (ctx - 1)[:, None]
+    ref = paged_attention_dense(q4, k_pool, v_pool, tables, ctx, positions, bs, scale)
+    out = paged_decode_attention_v3(
+        q4[:, 0], k_pool, v_pool, tables, ctx, block_size=bs, scale=scale,
+        interpret=True, seqs_per_step=sb, max_pages_per_chunk=2,
+    )
+    for i, c in enumerate(ctx_lens):
+        if c == 0:
+            assert np.allclose(np.asarray(out[i]), 0.0)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref[i, 0]), rtol=2e-5, atol=2e-5
+            )
+
+
+def test_v3_kernel_int8_and_tail():
+    """v3 with int8 pool + window tail vs the dense merge path."""
+    from byox_vllm_tpu.ops.attention import decode_attention_with_tail
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
+
+    rng = np.random.default_rng(8)
+    b, nh, nkv, hd, bs = 4, 8, 4, 128, 16
+    ctx_lens = [20, 5, 37, 0]
+    S = 32 * bs
+    kp = jnp.zeros((S, nkv * hd), jnp.int8)
+    vp = jnp.zeros((S, nkv * hd), jnp.int8)
+    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
+    tables = np.full((b, 4), -1, np.int32)
+    nxt = 0
+    for i, c in enumerate(ctx_lens):
+        for j in range(-(-c // bs)):
+            tables[i, j] = nxt
+            hi = min(c, (j + 1) * bs) - j * bs
+            slots = jnp.asarray(range(nxt * bs, nxt * bs + hi), jnp.int32)
+            rows_k = jnp.asarray(rng.normal(size=(hi, nkv, hd)), jnp.float32)
+            rows_v = jnp.asarray(rng.normal(size=(hi, nkv, hd)), jnp.float32)
+            kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, slots)
+            nxt += 1
+    tables = jnp.asarray(tables)
+    ctx = jnp.asarray(ctx_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(b, nh, hd)), jnp.float32)
+    t_max = 8
+    k_tail = jnp.asarray(rng.normal(size=(b, t_max, nkv, hd)), jnp.float32)
+    v_tail = jnp.asarray(rng.normal(size=(b, t_max, nkv, hd)), jnp.float32)
+    scale = hd**-0.5
+    for tl in (0, 5):
+        out = paged_decode_attention_v3(
+            q, kp, vp, tables, ctx, block_size=bs, scale=scale, interpret=True,
+            kv_scales=sc, seqs_per_step=2, k_tail=k_tail, v_tail=v_tail,
+            tail_len=jnp.int32(tl),
+        )
+        ref = decode_attention_with_tail(
+            q, kp, vp, tables, ctx, k_tail, v_tail, jnp.int32(tl), bs, scale,
+            kv_scales=sc, backend="dense",
+        )
+        for i, c in enumerate(ctx_lens):
+            if c == 0:
+                assert np.all(np.isfinite(np.asarray(out[i])))
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(out[i]), np.asarray(ref[i]), rtol=1e-4, atol=1e-4
+                )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_v3_fused_store_matches_separate(quant):
+    """Fused store-and-attend (kernel DMAs the new rows into the aliased
+    pools) must equal write_kv + attend, and must leave the pools identical."""
+    from byox_vllm_tpu.ops.attention import decode_attention_store
+
+    rng = np.random.default_rng(11)
+    b, nh, nkv, hd, bs = 4, 8, 4, 128, 16
+    lens = [20, 5, 37, 0]  # totals INCLUDING the new token; 0 = padding row
+    S = 32 * bs
+    if quant:
+        from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
+
+        lay = (
+            jnp.zeros((S, nkv * hd), jnp.int8),
+            jnp.zeros((S, nkv * hd), jnp.int8),
+            jnp.zeros((S, SCALE_LANES), jnp.bfloat16),
+        )
+        write = write_kv_quant
+    else:
+        from byox_vllm_tpu.ops.kv_cache import write_kv
+
+        lay = (jnp.zeros((S, nkv * hd), jnp.float32), jnp.zeros((S, nkv * hd), jnp.float32))
+        write = write_kv
+    tables = np.full((b, 4), -1, np.int32)
+    nxt = 0
+    slots = np.full(b, -1, np.int32)
+    for i, c in enumerate(lens):
+        for j in range(-(-c // bs)):
+            tables[i, j] = nxt
+            lo, hi = j * bs, min(c, (j + 1) * bs)
+            n = hi - lo
+            if hi == c:
+                n -= 1  # the LAST token's row is what the kernel stores
+                slots[i] = nxt * bs + (c - 1 - lo)
+            if n > 0:
+                sl = jnp.asarray(range(nxt * bs, nxt * bs + n), jnp.int32)
+                rows_k = jnp.asarray(rng.normal(size=(n, nkv, hd)), jnp.float32)
+                rows_v = jnp.asarray(rng.normal(size=(n, nkv, hd)), jnp.float32)
+                lay = write(*lay, rows_k, rows_v, sl)
+            nxt += 1
+    tables = jnp.asarray(tables)
+    ctx = jnp.asarray(lens, jnp.int32)
+    slots = jnp.asarray(slots)
+    q = jnp.asarray(rng.normal(size=(b, nh, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
+    scale = hd**-0.5
+
+    o_ref, lay_ref = decode_attention_store(
+        q, lay, tables, ctx, k_new, v_new, slots, bs, scale, backend="dense"
+    )
+    o_fused, lay_fused = decode_attention_store(
+        q, lay, tables, ctx, k_new, v_new, slots, bs, scale, backend="pallas"
+    )
+    tol = 2e-2 if quant else 2e-5  # tail is bf16 in the kernel path
+    for i, c in enumerate(lens):
+        if c == 0:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(o_fused[i]), np.asarray(o_ref[i]), rtol=tol, atol=tol
+        )
+    # pools must end up identical (incl. padding rows left untouched)
+    for a, r in zip(lay_fused, lay_ref):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(np.float32), np.asarray(r).astype(np.float32),
+            rtol=0, atol=0,
+        )

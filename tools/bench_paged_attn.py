@@ -41,6 +41,7 @@ def main():
     from byox_vllm_tpu.ops.paged_attention import (
         paged_decode_attention,
         paged_decode_attention_v2,
+        paged_decode_attention_v3,
     )
 
     B, CTX, BS, NH, NKV, HD = args.batch, args.ctx, args.block, args.nh, args.nkv, args.hd
@@ -70,7 +71,14 @@ def main():
     q0 = jnp.asarray(rng.standard_normal((B, NH, HD)).astype(np.float32)).astype(jnp.bfloat16)
     scale = HD ** -0.5
 
-    fns = {"v1": paged_decode_attention, "v2": paged_decode_attention_v2}
+    import functools
+    fns = {
+        "v1": paged_decode_attention,
+        "v2": paged_decode_attention_v2,
+        "v3": functools.partial(paged_decode_attention_v3, seqs_per_step=4),
+        "v3sb2": functools.partial(paged_decode_attention_v3, seqs_per_step=2),
+        "v3sb8": functools.partial(paged_decode_attention_v3, seqs_per_step=8),
+    }
 
     kv_bytes = (
         int(np.sum(np.asarray(ctx_lens)))
