@@ -107,10 +107,15 @@ class SpeculativeConfig:
     """Speculative decoding config (reference: nanovllm/config.py:30-49 — there
     declared but never consumed; here it is wired into the engine)."""
 
-    method: str | None = None  # "ngram" (implemented) | "eagle" (future)
+    method: str | None = None  # "ngram" | "draft_model" (Eagle/Medusa-class)
     num_speculative_tokens: int | None = None
     prompt_lookup_max: int | None = None
     prompt_lookup_min: int | None = 1
+    # draft_model method: the drafter checkpoint (any supported family) —
+    # a directory path, or an inline hf_config dict for tests/benchmarks
+    model: str | None = None
+    draft_hf_config: dict | None = None
+    draft_quantization: str | None = None  # None | "int8" | "int4"
 
     def __post_init__(self):
         if self.method == "ngram":
@@ -119,6 +124,9 @@ class SpeculativeConfig:
             if self.prompt_lookup_min is None:
                 self.prompt_lookup_min = 1
             assert 1 <= self.prompt_lookup_min <= self.prompt_lookup_max
+        elif self.method == "draft_model":
+            assert self.num_speculative_tokens is not None and self.num_speculative_tokens >= 1
+            assert self.model or self.draft_hf_config, "draft_model needs a drafter checkpoint"
 
 
 def config_from_kwargs(model: str = "", **kwargs) -> Config:

@@ -52,12 +52,20 @@ class LLMEngine:
         lookahead = config.num_decode_steps
         sc = config.speculative_config
         if sc is not None and sc.method is not None:
-            assert sc.method == "ngram", f"unsupported speculative method {sc.method!r}"
-            from byox_vllm_tpu.engine.spec import NgramProposer, SpecMetrics
-
-            self.proposer = NgramProposer(
-                sc.num_speculative_tokens, sc.prompt_lookup_min, sc.prompt_lookup_max
+            from byox_vllm_tpu.engine.spec import (
+                DraftModelProposer,
+                NgramProposer,
+                SpecMetrics,
             )
+
+            if sc.method == "ngram":
+                self.proposer = NgramProposer(
+                    sc.num_speculative_tokens, sc.prompt_lookup_min, sc.prompt_lookup_max
+                )
+            elif sc.method == "draft_model":
+                self.proposer = DraftModelProposer(sc, config)
+            else:
+                raise AssertionError(f"unsupported speculative method {sc.method!r}")
             self.spec_metrics = SpecMetrics()
             lookahead = sc.num_speculative_tokens + 1
         self.scheduler = Scheduler(config, decode_lookahead=lookahead)
@@ -139,7 +147,10 @@ class LLMEngine:
         prefill_tokens = sum(s.scheduled_chunk for s in seqs) if is_prefill else 0
         if not is_prefill and self.proposer is not None:
             max_draft = self.scheduler.last_lookahead - 1
-            drafts = [self.proposer.propose(s.token_ids)[:max_draft] for s in seqs]
+            if hasattr(self.proposer, "propose_all"):  # draft-model proposer
+                drafts = [d[:max_draft] for d in self.proposer.propose_all(seqs, max_draft)]
+            else:
+                drafts = [self.proposer.propose(s.token_ids)[:max_draft] for s in seqs]
             token_ids, accepted = self.model_runner.run_spec(
                 seqs, drafts, self.proposer.k
             )
@@ -147,6 +158,9 @@ class LLMEngine:
                 self.spec_metrics.record(len(d), min(int(a), len(d)))
         else:
             token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
+            if is_prefill and self.proposer is not None and hasattr(self.proposer, "observe_prefill"):
+                # the drafter mirrors the prompt so its KV stays in lockstep
+                self.proposer.observe_prefill(seqs)
         appended = self.scheduler.postprocess(seqs, token_ids, is_prefill)
         now = time.perf_counter()
         for seq in seqs:
@@ -162,6 +176,9 @@ class LLMEngine:
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
         ]
+        if self.proposer is not None and hasattr(self.proposer, "forget"):
+            for seq_id, _ in outputs:
+                self.proposer.forget(seq_id)
         num_tokens = prefill_tokens if is_prefill else -appended
         return outputs, num_tokens
 

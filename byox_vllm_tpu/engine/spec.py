@@ -91,3 +91,147 @@ class SpecMetrics:
             if self.num_drafts
             else [],
         }
+
+
+class DraftModelProposer:
+    """Draft-MODEL speculative decoding — the Eagle/Medusa-class mechanism
+    generalized to any supported checkpoint (the reference's README names
+    ngram/Medusa/Eagle as the intended scope, README.md:10-34): a small
+    drafter model proposes K tokens greedily; the target scores all K
+    positions in ONE verify call and rejection-samples (ops/spec_sampler.py),
+    so per emitted token the big model runs ~1/(1+accepted) forwards.
+
+    The drafter owns its own parameters and KV pools but SHARES the target's
+    block tables: pool slots are position-indexed, so the scheduler's block
+    allocations are valid for both models verbatim (the drafter pool is
+    allocated with the same num_kvcache_blocks x block_size geometry).
+    Draft-position rows written into the drafter pool are scratch — the next
+    ingest overwrites those positions with the real (accepted) tokens' K/V.
+    """
+
+    def __init__(self, spec_config, target_config):
+        import jax.numpy as jnp
+
+        from byox_vllm_tpu.config import config_from_kwargs
+        from byox_vllm_tpu.engine.model_runner import ModelRunner
+
+        self.k = spec_config.num_speculative_tokens
+        draft_cfg = config_from_kwargs(
+            spec_config.model or "",
+            hf_config=spec_config.draft_hf_config,
+            dtype=target_config.dtype,
+            quantization=spec_config.draft_quantization,
+            kv_cache_dtype=target_config.kv_cache_dtype,
+            kvcache_block_size=target_config.kvcache_block_size,
+            num_kvcache_blocks=target_config.num_kvcache_blocks,
+            max_model_len=target_config.max_model_len,
+            max_num_seqs=target_config.max_num_seqs,
+            max_num_batched_tokens=target_config.max_num_batched_tokens,
+            tensor_parallel_size=target_config.tensor_parallel_size,
+            data_parallel_size=target_config.data_parallel_size,
+            attention_backend=target_config.attention_backend,
+            seed=target_config.seed,
+        )
+        self.runner = ModelRunner(draft_cfg)
+        self._jnp = jnp
+        # tokens of each live sequence the drafter holds K/V for
+        self._done: dict[int, int] = {}
+
+    def observe_prefill(self, seqs) -> None:
+        """Mirror a target prefill step on the drafter (same chunks, same
+        block tables) so its KV stays in lockstep with the prompt."""
+        self.runner.run(seqs, is_prefill=True)  # sampled tokens discarded
+        for s in seqs:
+            chunk = s.scheduled_chunk or s.num_pending_prefill_tokens
+            self._done[s.seq_id] = s.num_computed_tokens + chunk
+
+    def forget(self, seq_id: int) -> None:
+        self._done.pop(seq_id, None)
+
+    def propose_all(self, seqs, max_draft: int) -> list[list[int]]:
+        """K greedy draft tokens per sequence: one prefill-style call ingests
+        each sequence's unseen suffix (the tokens the last verify emitted)
+        and produces draft 1; a K-1 decode window produces the rest."""
+        import numpy as np
+
+        from byox_vllm_tpu.engine.batch_prep import StepBatch, pad_batch
+        from byox_vllm_tpu.engine.model_runner import _next_bucket
+
+        jnp = self._jnp
+        r = self.runner
+        k = min(self.k, max_draft) if max_draft else self.k
+        if k < 1:
+            return [[] for _ in seqs]
+        n = len(seqs)
+        bs = r.block_size
+        dones = []
+        for s in seqs:
+            d = self._done.get(s.seq_id, 0)
+            if d > len(s) - 1 or d < 1:
+                d = 0  # preempted/unknown: re-ingest everything
+            dones.append(d)
+
+        # --- ingest + first draft (prefill-style: q_lens = suffix length) --
+        q_lens = np.array([len(s) - d for s, d in zip(seqs, dones)], dtype=np.int32)
+        tq = int(q_lens.max())
+        token_ids = np.zeros((n, tq), dtype=np.int32)
+        slot_mapping = np.full((n, tq), -1, dtype=np.int32)
+        tables = np.full((n, max(1, max(len(s.block_table) for s in seqs))), -1, np.int32)
+        for i, (s, d) in enumerate(zip(seqs, dones)):
+            suffix = s.token_ids[d:]
+            token_ids[i, : len(suffix)] = suffix
+            pos = np.arange(d, len(s))
+            blocks = np.asarray(s.block_table, dtype=np.int64)
+            slot_mapping[i, : len(suffix)] = blocks[pos // bs] * bs + pos % bs
+            tables[i, : len(s.block_table)] = s.block_table
+        batch = StepBatch(
+            token_ids=token_ids,
+            q_lens=q_lens,
+            context_lens=np.array([len(s) for s in seqs], dtype=np.int32),
+            slot_mapping=slot_mapping,
+            block_tables=tables,
+            temperatures=np.zeros(n, dtype=np.float32),  # greedy drafts
+            is_prefill=True,
+        )
+        padded = pad_batch(
+            batch,
+            num_seqs=_next_bucket(n, r.seq_buckets),
+            num_tokens=_next_bucket(tq, r.token_buckets),
+            table_width=_next_bucket(tables.shape[1], r.table_buckets),
+        )
+        import jax
+
+        self_key = jax.random.PRNGKey(0)  # greedy drafts: key is unused
+        first, r.kv_cache = r._step(
+            r.params, r.kv_cache,
+            jnp.asarray(padded.token_ids), jnp.asarray(padded.q_lens),
+            jnp.asarray(padded.context_lens), jnp.asarray(padded.slot_mapping),
+            jnp.asarray(padded.block_tables), jnp.asarray(padded.temperatures),
+            self_key, None, None, None,
+        )
+        for s in seqs:
+            self._done[s.seq_id] = len(s)
+        if k == 1:
+            drafts = np.asarray(first)[:n, None]
+            return [row.tolist() for row in drafts]
+
+        # --- K-1 decode window continuing from draft 1 ---------------------
+        npad = padded.token_ids.shape[0]
+        slots = np.full((npad, k - 1), -1, dtype=np.int32)
+        ctx = np.zeros(npad, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            pos = len(s) + np.arange(k - 1)
+            blocks = np.asarray(s.block_table, dtype=np.int64)
+            slots[i] = blocks[pos // bs] * bs + pos % bs
+            ctx[i] = len(s) + 1  # draft 1 is the current token of step 0
+        rest, r.kv_cache = r._decode(
+            r.params, r.kv_cache,
+            first,
+            jnp.asarray(ctx), jnp.asarray(slots),
+            jnp.asarray(padded.block_tables),
+            jnp.asarray(np.zeros(npad, dtype=np.float32)),
+            self_key, None, None,
+        )
+        first = np.asarray(first)[:n]
+        rest = np.asarray(rest)[:n]
+        return [[int(first[i])] + rest[i].tolist() for i in range(n)]

@@ -1,13 +1,17 @@
 """Speculative-decoding demo + acceptance metrics.
 
 Counterpart of the reference's spec_decode.py / vllm_ngram.py pair: runs
-ngram prompt-lookup speculative decoding and prints the acceptance metrics
-surface the reference demonstrates against real vLLM (vllm_ngram.py:70-104):
-drafts, draft tokens, accepted tokens, per-position acceptance rate, mean
-acceptance length.
+speculative decoding and prints the acceptance metrics surface the reference
+demonstrates against real vLLM (vllm_ngram.py:70-104): drafts, draft tokens,
+accepted tokens, per-position acceptance rate, mean acceptance length.
+
+Methods: ngram (default) or draft_model (BYOX_SPEC_METHOD=draft_model, with
+BYOX_DRAFT_MODEL=<path> naming the drafter checkpoint — the Eagle/Medusa-
+class small-drafter mechanism).
 
 Without a checkpoint (zero-egress environment) it runs the Qwen3-0.6B
-geometry with random weights on repetitive token-id prompts (ngram-friendly).
+geometry with random weights on repetitive token-id prompts (ngram-friendly);
+draft_model mode then self-drafts with a random 2-layer model.
 """
 
 import json
@@ -19,12 +23,28 @@ from byox_vllm_tpu import LLM, SamplingParams
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else os.path.expanduser("~/huggingface/Qwen3-0.6B/")
-    spec_cfg = {
-        "method": "ngram",
-        "num_speculative_tokens": 4,
-        "prompt_lookup_max": 3,
-        "prompt_lookup_min": 1,
-    }
+    method = os.environ.get("BYOX_SPEC_METHOD", "ngram")
+    if method == "draft_model":
+        spec_cfg = {"method": "draft_model", "num_speculative_tokens": 4}
+        draft = os.environ.get("BYOX_DRAFT_MODEL")
+        if draft:
+            spec_cfg["model"] = draft
+        else:  # no checkpoint: a tiny random drafter exercises the machinery
+            spec_cfg["draft_hf_config"] = {
+                "model_type": "qwen3", "vocab_size": 151936, "hidden_size": 256,
+                "intermediate_size": 512, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "head_dim": 128, "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+                "tie_word_embeddings": True, "attention_bias": False,
+                "max_position_embeddings": 40960,
+            }
+    else:
+        spec_cfg = {
+            "method": "ngram",
+            "num_speculative_tokens": 4,
+            "prompt_lookup_max": 3,
+            "prompt_lookup_min": 1,
+        }
     if os.path.isdir(path):
         llm = LLM(path, max_model_len=4096, speculative_config=spec_cfg)
         prompts = [

@@ -161,3 +161,96 @@ def test_spec_with_top_k_1_matches_greedy(tiny_model_dir):
         prompts, SamplingParams(temperature=1.3, top_k=1, max_tokens=16), use_tqdm=False
     )
     assert out[0]["token_ids"] == greedy[0]["token_ids"]
+
+
+TINY_DRAFT_CFG = {
+    "model_type": "qwen3", "vocab_size": 64, "hidden_size": 32,
+    "intermediate_size": 64, "num_hidden_layers": 1,
+    "num_attention_heads": 2, "num_key_value_heads": 1, "head_dim": 16,
+    "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+    "tie_word_embeddings": True, "attention_bias": False,
+    "max_position_embeddings": 512,
+}
+
+
+def test_draft_model_spec_greedy_matches_plain(tiny_model_dir):
+    """Draft-MODEL speculative decoding: greedy output must equal plain
+    greedy regardless of the drafter (here a random tiny model, so
+    acceptance is low but correctness must hold)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=16,
+    )
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8], [9, 10, 11], [12] * 20]
+    sp = SamplingParams(temperature=0.0, max_tokens=20)
+    plain = LLM(tiny_model_dir, **common).generate(prompts, sp, use_tqdm=False)
+    spec_llm = LLM(
+        tiny_model_dir,
+        speculative_config={
+            "method": "draft_model", "num_speculative_tokens": 3,
+            "draft_hf_config": TINY_DRAFT_CFG,
+        },
+        **common,
+    )
+    spec = spec_llm.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, spec):
+        assert a["token_ids"] == b["token_ids"]
+    m = spec_llm.spec_metrics.summary()
+    assert m["num_drafts"] > 0
+
+
+def test_draft_model_spec_self_draft_full_acceptance(tiny_model_dir):
+    """Drafter == target: every greedy draft must be accepted (acceptance
+    rate 1.0) and the output still equals plain greedy."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=16,
+    )
+    prompts = [[1, 2, 3, 4, 5]]
+    sp = SamplingParams(temperature=0.0, max_tokens=18)
+    plain = LLM(tiny_model_dir, **common).generate(prompts, sp, use_tqdm=False)
+    spec_llm = LLM(
+        tiny_model_dir,
+        speculative_config={
+            "method": "draft_model", "num_speculative_tokens": 3,
+            "model": tiny_model_dir,  # self-draft
+        },
+        **common,
+    )
+    spec = spec_llm.generate(prompts, sp, use_tqdm=False)
+    assert plain[0]["token_ids"] == spec[0]["token_ids"]
+    m = spec_llm.spec_metrics.summary()
+    assert m["num_drafts"] > 0
+    assert m["draft_acceptance_rate"] == 1.0
+
+
+def test_draft_model_spec_survives_preemption(tiny_model_dir):
+    """Tiny pool forces preemption+recompute while draft-model spec decoding
+    runs: outputs must still match unconstrained plain greedy."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    prompts = [list(range(10, 40)), list(range(50, 80)), list(range(1, 30))]
+    sp = SamplingParams(temperature=0.0, max_tokens=12)
+    plain = LLM(
+        tiny_model_dir, dtype="float32", max_model_len=128,
+        max_num_batched_tokens=128, num_kvcache_blocks=64, kvcache_block_size=16,
+    ).generate(prompts, sp, use_tqdm=False)
+    tight = LLM(
+        tiny_model_dir, dtype="float32", max_model_len=128,
+        max_num_batched_tokens=64, num_kvcache_blocks=9, kvcache_block_size=16,
+        speculative_config={
+            "method": "draft_model", "num_speculative_tokens": 2,
+            "draft_hf_config": TINY_DRAFT_CFG,
+        },
+    )
+    out = tight.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, out):
+        assert a["token_ids"] == b["token_ids"]
+    assert tight.scheduler.block_manager.num_free_blocks == 9
