@@ -37,7 +37,7 @@ class Config:
     num_kvcache_blocks: int = -1
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"  # "auto" (= dtype) | "int8"
-    quantization: str | None = None  # None | "int8" | "int4"
+    quantization: str | None = None  # None | "int8" | "int4" | "w4a8"
     attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
     # With weight quantization on, also quantize the (untied) LM head to
     # int8: the V x D head is the largest single matrix and streams fully

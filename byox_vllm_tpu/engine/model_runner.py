@@ -106,13 +106,16 @@ class ModelRunner:
         if config.quantization:
             from dataclasses import replace
 
-            bits = {"int8": 8, "int4": 4}[config.quantization]
+            bits = {"int8": 8, "int4": 4, "w4a8": 4}[config.quantization]
+            act_bits = 8 if config.quantization == "w4a8" else None
             head_bits = (
                 8
                 if config.quantize_lm_head and not self.spec.tie_word_embeddings
                 else None
             )
-            self.spec = replace(self.spec, quant_bits=bits, head_bits=head_bits)
+            self.spec = replace(
+                self.spec, quant_bits=bits, act_bits=act_bits, head_bits=head_bits
+            )
         self.forward_fn = model_cls.forward
         self.block_size = config.kvcache_block_size
         self.dtype = jnp.dtype(config.dtype)

@@ -34,11 +34,11 @@ from byox_vllm_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
 QUANTIZED_LAYER_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
 
 
-def _linear(x, w, quant_bits):
+def _linear(x, w, quant_bits, act_bits=None):
     """x [..., K] @ w — w is either a dense [K, M] array or a quantized
-    {"q", "s"} pytree (fused dequant-matmul on TPU)."""
+    {"q", "s"} pytree (fused dequant-matmul on TPU; W4A8 when act_bits=8)."""
     if isinstance(w, dict):
-        return quant_matmul(x, w, quant_bits)
+        return quant_matmul(x, w, quant_bits, act_bits=act_bits)
     return jnp.einsum("btd,df->btf", x, w, preferred_element_type=x.dtype)
 
 
@@ -107,6 +107,7 @@ class Qwen3Spec:
     qk_norm: bool  # per-head q/k RMSNorm (Qwen3: yes; Qwen2/Llama: no)
     max_position_embeddings: int
     quant_bits: int | None = None  # weight-only quantization: None | 8 | 4
+    act_bits: int | None = None  # 8 = W4A8: int8 activations on the int8 MXU
     # LM head quantization (untied heads only). Always int8 even for int4
     # body weights: the head is the single largest matrix (V x D, 1.2 GB
     # bf16 on 8B) and streams fully every decode step, but it is also the
@@ -246,7 +247,7 @@ def forward(
     for i in range(spec.num_layers):
         lp = {name: _slice_layer(w, i) for name, w in layers.items()}
         x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
-        qkv = _linear(x, lp["wqkv"], spec.quant_bits)
+        qkv = _linear(x, lp["wqkv"], spec.quant_bits, spec.act_bits)
         if "bqkv" in lp:
             qkv = qkv + lp["bqkv"]
         q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
@@ -328,13 +329,13 @@ def forward(
                 kv_scales=kv_scales,
             )
         o = o.reshape(b, tq, spec.q_size)
-        h = h + _linear(o, lp["wo"], spec.quant_bits)
+        h = h + _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)
 
         x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
-        gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits)
+        gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits, spec.act_bits)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         y = jax.nn.silu(gate) * up
-        h = h + _linear(y, lp["w_down"], spec.quant_bits)
+        h = h + _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
 
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed"])

@@ -253,23 +253,184 @@ def dequantize(wq: jnp.ndarray, scales: jnp.ndarray, bits: int, dtype=jnp.bfloat
 
 
 def quant_matmul(
-    x: jnp.ndarray, w: dict, bits: int, backend: str = "auto", out_dtype=None
+    x: jnp.ndarray, w: dict, bits: int, backend: str = "auto", out_dtype=None,
+    act_bits: int | None = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas fused dequant-matmul on TPU, XLA dequant fallback
-    elsewhere. x [..., K]; returns [..., M] (in out_dtype when given)."""
+    elsewhere. x [..., K]; returns [..., M] (in out_dtype when given).
+    act_bits=8 with bits=4 selects the W4A8 int8-MXU kernel."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    w4a8 = act_bits == 8 and bits == 4
     if backend != "dense" and (backend == "pallas" or on_tpu):
         try:
-            out = quant_matmul_pallas(
-                x2, w["q"], w["s"], bits=bits, interpret=not on_tpu, out_dtype=out_dtype
-            )
+            if w4a8:
+                out = quant_matmul_w4a8_pallas(
+                    x2, w["q"], w["s"], interpret=not on_tpu, out_dtype=out_dtype
+                )
+            else:
+                out = quant_matmul_pallas(
+                    x2, w["q"], w["s"], bits=bits, interpret=not on_tpu, out_dtype=out_dtype
+                )
         except ValueError:  # K too small to tile on hardware
             out = (x2 @ dequantize(w["q"], w["s"], bits, x.dtype)).astype(out_dtype or x.dtype)
     else:
-        if out_dtype is not None and jnp.dtype(out_dtype) == jnp.float32:
+        if w4a8:
+            # exact emulation of the kernel: quantized activations times the
+            # dequantized weights in f32
+            x8, sx = quantize_activations(x2)
+            out = (x8.astype(jnp.float32) * sx) @ dequantize(w["q"], w["s"], bits, jnp.float32)
+        elif out_dtype is not None and jnp.dtype(out_dtype) == jnp.float32:
             out = x2.astype(jnp.float32) @ dequantize(w["q"], w["s"], bits, jnp.float32)
         else:
             out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
     return out.reshape(*lead, -1).astype(out_dtype or x.dtype)
+
+
+# --- W4A8: int8 activations on the int8 MXU path ---------------------------
+#
+# The bf16 qmm above is MXU-bound at decode batch sizes (the int4 weights are
+# dequantized to bf16, so the matmul runs at the bf16 rate). Quantizing
+# activations per-token to int8 moves the matmul to the int8 MXU (~2x rate):
+# for each k-tile the kernel unpacks int4 -> int8 and accumulates PER
+# QUANTIZATION GROUP (the int8 product needs one weight scale per
+# contraction): acc_f32 += int32_dot(x8_g, w8_g) * w_scale[g, col]. The
+# per-token activation scale factors out of every group and is applied once
+# at the end: out = acc * sx[row].
+
+
+def quantize_activations(x: jnp.ndarray):
+    """[N, K] float -> (x8 [N, K] int8, sx [N, 1] f32) per-row symmetric."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def _unpack_tile_i8(raw, interpret: bool):
+    """Packed int4 tile [TK/2, TM] -> [TK, TM] int8 values."""
+    if not interpret:
+        return pltpu.bitcast(raw, jnp.int4).astype(jnp.int8)
+    b = raw.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, 24), 28)
+    kh, tm = raw.shape
+    return jnp.stack([lo, hi], axis=1).reshape(kh * 2, tm).astype(jnp.int8)
+
+
+def _qmm_w4a8_kernel(
+    x_ref,  # [TN, TK] int8
+    sx_ref,  # [TN, 1] f32
+    wq_ref,  # [TK/2, TM] packed int4
+    s_ref,  # [gpt, TM] f32 weight scales
+    o_ref,  # [TN, TM]
+    acc_ref,  # [TN, TM] f32
+    *,
+    groups_per_tile,
+    group_size,
+    out_dtype,
+    interpret,
+):
+    k = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    tm = wq_ref.shape[-1]
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = _unpack_tile_i8(wq_ref[...], interpret)  # [TK, TM] int8
+    scales = s_ref[...]  # [gpt, TM] f32
+    acc = acc_ref[...]
+    for g in range(groups_per_tile):
+        xg = x_ref[:, g * group_size : (g + 1) * group_size]  # [TN, gs] int8
+        wg = w8[g * group_size : (g + 1) * group_size, :]  # [gs, TM] int8
+        s32 = jax.lax.dot(xg, wg, preferred_element_type=jnp.int32)
+        acc = acc + s32.astype(jnp.float32) * scales[g : g + 1, :]
+    acc_ref[...] = acc
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * sx_ref[...]).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_m", "tile_k", "out_dtype")
+)
+def quant_matmul_w4a8_pallas(
+    x: jnp.ndarray,  # [N, K] float (quantized per-row inside)
+    wq: jnp.ndarray,  # [K/2, M] nibble-packed int4
+    scales: jnp.ndarray,  # [K/G, M] f32
+    *,
+    interpret: bool = False,
+    tile_m: int = 1024,
+    tile_k: int = 2048,
+    out_dtype=None,
+) -> jnp.ndarray:
+    n, k = x.shape
+    m = wq.shape[-1]
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    groups = scales.shape[0]
+    gsize = k // groups
+    x8, sx = quantize_activations(x)
+
+    tk = min(tile_k, k)
+    while k % tk or tk % gsize:
+        tk //= 2
+    gpt = tk // gsize
+    if not interpret and gpt % 8:
+        if k % (8 * gsize) == 0:
+            tk = 8 * gsize
+            while tk * 2 <= max(tile_k, tk) and k % (tk * 2) == 0 and tk < tile_k:
+                tk *= 2
+            gpt = tk // gsize
+        else:
+            raise ValueError(f"K={k} with group {gsize} not tileable for the TPU w4a8 kernel")
+    tn = n
+    while tn > 2048 and tn % 2 == 0:
+        tn //= 2
+    tm = min(tile_m, m)
+    while m % tm:
+        tm //= 2
+
+    def vmem_bytes(tn, tk, tm):
+        return 2 * (
+            tn * tk  # x8 block
+            + (tk // 2) * tm  # packed weights
+            + (tk // gsize) * tm * 4  # scales
+            + tn * tm * out_dtype.itemsize  # out
+            + tn * 4  # sx
+        ) + tn * tm * 4  # accumulator
+
+    budget = 9 * 1024 * 1024
+    while vmem_bytes(tn, tk, tm) > budget:
+        if tk >= 2 * 8 * gsize and k % (tk // 2) == 0:
+            tk //= 2
+        elif tm > 128 and m % (tm // 2) == 0:
+            tm //= 2
+        elif tn > 8 and tn % 2 == 0:
+            tn //= 2
+        else:
+            break
+    gpt = tk // gsize
+    assert m % tm == 0 and k % tk == 0 and n % tn == 0
+    num_n, num_m, num_k = n // tn, m // tm, k // tk
+
+    return pl.pallas_call(
+        functools.partial(
+            _qmm_w4a8_kernel, groups_per_tile=gpt, group_size=gsize,
+            out_dtype=out_dtype, interpret=interpret,
+        ),
+        grid=(num_n, num_m, num_k),
+        in_specs=[
+            pl.BlockSpec((tn, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tn, tm), jnp.float32)],
+        interpret=interpret,
+    )(x8, sx, wq, scales)

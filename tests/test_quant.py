@@ -226,3 +226,51 @@ def test_engine_quantized_untied_head():
     out = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
     assert len(out[0]["token_ids"]) == 6
     assert all(0 <= t < 512 for t in out[0]["token_ids"])  # no padded-vocab ids
+
+
+def test_w4a8_kernel_matches_emulation():
+    """W4A8 kernel (interpret) vs its exact XLA emulation, and sanity vs the
+    unquantized matmul."""
+    import numpy as np
+    from byox_vllm_tpu.ops.quant import (
+        dequantize,
+        quant_matmul_w4a8_pallas,
+        quantize_activations,
+        quantize_weight,
+    )
+
+    rng = np.random.default_rng(3)
+    N, K, M = 16, 1024, 512
+    x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    w = rng.normal(size=(K, M)).astype(np.float32) * 0.03
+    qd = quantize_weight(w, bits=4)
+    out = quant_matmul_w4a8_pallas(x, qd["q"], qd["s"], interpret=True, out_dtype=jnp.float32)
+    x8, sx = quantize_activations(x)
+    ref = (x8.astype(jnp.float32) * sx) @ dequantize(qd["q"], qd["s"], 4, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+    # and close to the full-precision product (quantization error only)
+    full = np.asarray(x) @ w
+    rel = np.linalg.norm(np.asarray(out) - full) / np.linalg.norm(full)
+    # int4 group-128 noise alone is ~12% relative on N(0,1) weights
+    # (delta/sqrt(12) with delta = groupmax/7.5); A8 adds ~1%
+    assert rel < 0.15, rel
+
+
+def test_engine_w4a8_end_to_end():
+    """quantization='w4a8' drives the whole engine (dense emulation on CPU)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 512, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    llm = LLM(hf_config=cfg, max_model_len=64, max_num_batched_tokens=256,
+              num_kvcache_blocks=32, kvcache_block_size=16, quantization="w4a8")
+    assert llm.model_runner.spec.quant_bits == 4
+    assert llm.model_runner.spec.act_bits == 8
+    out = llm.generate([[1, 2, 3]], SamplingParams(max_tokens=6, ignore_eos=True,
+                                                   temperature=0.0), use_tqdm=False)
+    assert len(out[0]["token_ids"]) == 6
