@@ -22,7 +22,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from byox_vllm_tpu.parallel.mesh import DATA_AXIS as D, MODEL_AXIS as M
 
 
-def qwen3_param_specs(params: dict) -> dict:
+def qwen3_param_specs(params: dict, mesh=None) -> dict:
     layer_specs = {
         "attn_norm": P(None, None),
         "wqkv": P(None, None, M),
@@ -34,26 +34,42 @@ def qwen3_param_specs(params: dict) -> dict:
         "w_gate_up": P(None, None, M),
         "w_down": P(None, M, None),
     }
+    def fit(spec, value):
+        """Drop axes a leaf's dims can't be divided over (e.g. quantized
+        SCALE tensors: [L, K/G, M] has only K/G rows on the reduction dim —
+        a tiny model or coarse grouping can make K/G < TP; replicating the
+        scales is always correct and they are small)."""
+        if mesh is None:
+            return spec
+        dims = []
+        for d, axis in enumerate(spec):
+            if axis is not None and value.shape[d] % mesh.shape[axis] != 0:
+                axis = None
+            dims.append(axis)
+        return P(*dims)
+
     def expand(key):
         base = layer_specs[key]
         value = params["layers"][key]
         if isinstance(value, dict):
             # quantized {"q", "s"}: scale dims mirror the weight dims
-            # ([L, K/G, M] vs [L, K, M]), so the same spec applies to both
-            return {leaf: base for leaf in value}
-        return base
+            # ([L, K/G, M] vs [L, K, M]), modulo divisibility
+            return {leaf: fit(base, v) for leaf, v in value.items()}
+        return fit(base, value)
 
     specs = {
-        "embed": P(M, None),
+        "embed": fit(P(M, None), params["embed"]),
         "final_norm": P(None),
         "layers": {k: expand(k) for k in params["layers"]},
     }
     if "lm_head" in params:
         if isinstance(params["lm_head"], dict):
             # int8 head stored pre-transposed [D, V_pad]: vocab on 'model'
-            specs["lm_head"] = {"q": P(None, M), "s": P(None, M)}
+            specs["lm_head"] = {
+                leaf: fit(P(None, M), v) for leaf, v in params["lm_head"].items()
+            }
         else:
-            specs["lm_head"] = P(M, None)
+            specs["lm_head"] = fit(P(M, None), params["lm_head"])
     return specs
 
 
@@ -74,7 +90,7 @@ def batch_specs() -> dict:
 
 
 def shard_params(params: dict, mesh) -> dict:
-    specs = qwen3_param_specs(params)
+    specs = qwen3_param_specs(params, mesh)
     flat_p, treedef = jax.tree.flatten(params)
     flat_s, _ = jax.tree.flatten(specs, is_leaf=lambda x: isinstance(x, P))
     placed = [jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(flat_p, flat_s)]

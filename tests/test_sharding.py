@@ -46,3 +46,31 @@ def test_tp_matches_single_device():
     )
     out = np.asarray(jax.jit(run)(sharded_params, kv_sharded, sharded_arrays))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_engine_quantized_matches_single_device():
+    """TP=4 x DP=2 mesh with int8 weights + int8 LM head: the engine's greedy
+    output must match the single-device run (GSPMD shards the quantized
+    {q, s} pytrees column-consistently or this diverges)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 512, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": False, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=32,
+        kvcache_block_size=16, quantization="int8", seed=3,
+    )
+    prompts = [[1, 2, 3, 4], [5, 6, 7, 8, 9, 10]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    single = LLM(**common).generate(prompts, sp, use_tqdm=False)
+    tp = LLM(tensor_parallel_size=4, data_parallel_size=2, **common).generate(
+        prompts, sp, use_tqdm=False
+    )
+    for a, b in zip(single, tp):
+        assert a["token_ids"] == b["token_ids"]
