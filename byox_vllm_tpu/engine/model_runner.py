@@ -45,7 +45,7 @@ class PendingDecode:
 from byox_vllm_tpu.models import get_model
 from byox_vllm_tpu.ops.sampler import sample_tokens
 from byox_vllm_tpu.parallel.mesh import make_mesh
-from byox_vllm_tpu.parallel.shardings import kv_cache_spec, shard_params
+from byox_vllm_tpu.parallel.shardings import kv_cache_spec, qwen3_param_specs, shard_params
 from byox_vllm_tpu.utils.loader import param_bytes
 from byox_vllm_tpu.utils.logging import logger
 
@@ -114,7 +114,8 @@ class ModelRunner:
                 else None
             )
             self.spec = replace(
-                self.spec, quant_bits=bits, act_bits=act_bits, head_bits=head_bits
+                self.spec, quant_bits=bits, act_bits=act_bits, head_bits=head_bits,
+                quant_tp=config.tensor_parallel_size,
             )
         self.forward_fn = model_cls.forward
         self.block_size = config.kvcache_block_size
@@ -148,6 +149,16 @@ class ModelRunner:
         else:
             logger.warning("no model path given: using random-initialized weights")
             params = model_cls.init_params(self.spec, self.dtype, seed=config.seed)
+        self.tp = config.tensor_parallel_size
+        if self.tp > 1:
+            # shard_map TP: fused projection columns must be grouped per
+            # shard (parallel/tp.py) BEFORE the mesh placement
+            from byox_vllm_tpu.parallel.tp import tp_permute_layer_params
+
+            params["layers"] = tp_permute_layer_params(
+                params["layers"], self.spec, self.tp
+            )
+            params = jax.tree.map(jnp.asarray, params)
         self.params = shard_params(params, self.mesh)
         # stacked [L, ...] -> per-layer lists: a stacked slice feeding a
         # Pallas custom-call (quantized matmul) is materialized as a copy
@@ -171,7 +182,7 @@ class ModelRunner:
 
         self.kv_cache = jax.tree.map(
             lambda x: jax.device_put(x, kv_sharding),
-            make_kv_cache(self.spec, self.num_slots, kv_dtype),
+            make_kv_cache(self.spec, self.num_slots, kv_dtype, tp=self.tp),
         )
         kv_bytes = sum(x.nbytes for lay in self.kv_cache for x in lay)
         logger.info(
@@ -180,40 +191,119 @@ class ModelRunner:
         )
 
         # --- compiled step ----------------------------------------------
+        # tp == 1: plain jit; GSPMD handles the (data-only) sharding.
+        # tp > 1: jit(shard_map(step)) — GSPMD has no partitioning rule for
+        # Pallas custom-calls (it would all-gather weights and the KV pool
+        # every step), so each shard runs the SAME step on its local
+        # weight/KV-head shard with explicit psums (parallel/tp.py).
         self.rng = jax.random.PRNGKey(config.seed)
-        self._step = jax.jit(
-            partial(
-                _model_step,
-                forward_fn=self.forward_fn,
-                spec=self.spec,
-                block_size=self.block_size,
-                attention_backend=config.attention_backend,
-            ),
-            static_argnames=(),
-            donate_argnums=(1,),  # kv_cache
+        if self.tp > 1:
+            from byox_vllm_tpu.parallel.tp import local_spec
+
+            run_model_spec = local_spec(self.spec, self.tp)
+            tp_kwargs = dict(
+                tp_axis="model", global_vocab=self.spec.vocab_size
+            )
+        else:
+            run_model_spec = self.spec
+            tp_kwargs = {}
+        step_impl = partial(
+            _model_step,
+            forward_fn=self.forward_fn,
+            spec=run_model_spec,
+            block_size=self.block_size,
+            attention_backend=config.attention_backend,
+            **tp_kwargs,
         )
-        self._decode = jax.jit(
-            partial(
-                _multi_decode_step,
-                forward_fn=self.forward_fn,
-                spec=self.spec,
-                block_size=self.block_size,
-                attention_backend=config.attention_backend,
-                window_staged=config.window_staged_decode,
-                fused_store=config.fused_decode_store,
-            ),
-            donate_argnums=(1,),  # kv_cache
+        decode_impl = partial(
+            _multi_decode_step,
+            forward_fn=self.forward_fn,
+            spec=run_model_spec,
+            block_size=self.block_size,
+            attention_backend=config.attention_backend,
+            window_staged=config.window_staged_decode,
+            fused_store=config.fused_decode_store,
+            **tp_kwargs,
         )
-        self._spec_verify = jax.jit(
-            partial(
-                _spec_verify_step,
-                forward_fn=self.forward_fn,
-                spec=self.spec,
-                block_size=self.block_size,
-                attention_backend=config.attention_backend,
-            ),
-            donate_argnums=(1,),  # kv_cache
+        verify_impl = partial(
+            _spec_verify_step,
+            forward_fn=self.forward_fn,
+            spec=run_model_spec,
+            block_size=self.block_size,
+            attention_backend=config.attention_backend,
+            **tp_kwargs,
         )
+        if self.tp == 1:
+            self._step = jax.jit(step_impl, donate_argnums=(1,))
+            self._decode = jax.jit(decode_impl, donate_argnums=(1,))
+            self._spec_verify = jax.jit(verify_impl, donate_argnums=(1,))
+        else:
+            self._tp_cache: dict = {}
+            from jax.sharding import PartitionSpec as P
+
+            param_specs = qwen3_param_specs(self.params, self.mesh)
+            kv_specs = jax.tree.map(lambda _: kv_cache_spec(), self.kv_cache)
+            Dx = "data"
+
+            def opt(spec_tuple, arg):
+                return None if arg is None else spec_tuple
+
+            def step_specs(args):
+                (_, _, _, _, _, _, _, _, _, filters, runs, seed_info) = args
+                ins = (
+                    param_specs, kv_specs, P(Dx, None), P(Dx), P(Dx),
+                    P(Dx, None), P(Dx, None), P(Dx), P(),
+                    opt((P(Dx), P(Dx)), filters),
+                    opt((P(), P()), runs),
+                    opt((P(Dx), P(Dx)), seed_info),
+                )
+                return ins, (P(Dx), kv_specs)
+
+            def decode_specs(args):
+                (_, _, _, _, _, _, _, _, filters, seed_info) = args
+                ins = (
+                    param_specs, kv_specs, P(Dx), P(Dx), P(Dx, None),
+                    P(Dx, None), P(Dx), P(),
+                    opt((P(Dx), P(Dx)), filters),
+                    opt((P(Dx), P(Dx)), seed_info),
+                )
+                return ins, (P(Dx, None), kv_specs)
+
+            def verify_specs(args):
+                filters = args[-1]
+                ins = (
+                    param_specs, kv_specs, P(Dx, None), P(Dx), P(Dx),
+                    P(Dx, None), P(Dx, None), P(Dx, None), P(Dx), P(Dx), P(),
+                    opt((P(Dx), P(Dx)), filters),
+                )
+                return ins, (P(Dx, None), P(Dx), kv_specs)
+
+            def make_caller(kind, impl, specs_fn):
+                def call(*args):
+                    key = (kind, tuple(a is None for a in args))
+                    fn = self._tp_cache.get(key)
+                    if fn is None:
+                        from jax.experimental.shard_map import shard_map
+
+                        ins, outs = specs_fn(args)
+                        try:
+                            sm = shard_map(
+                                impl, mesh=self.mesh, in_specs=ins,
+                                out_specs=outs, check_rep=False,
+                            )
+                        except TypeError:  # newer jax: check_rep removed
+                            sm = shard_map(
+                                impl, mesh=self.mesh, in_specs=ins, out_specs=outs
+                            )
+                        fn = jax.jit(sm, donate_argnums=(1,))
+                        self._tp_cache[key] = fn
+                    return fn(*args)
+
+                return call
+
+            self._step = make_caller("step", step_impl, step_specs)
+            self._decode = make_caller("decode", decode_impl, decode_specs)
+            self._spec_verify = make_caller("verify", verify_impl, verify_specs)
         # Shape buckets. Every distinct shape is a separate compiled program
         # (and on this backend each program load costs ~1s per process), so
         # the bucket sets are deliberately small: block-table width is always
@@ -423,6 +513,8 @@ def _model_step(
     spec,
     block_size,
     attention_backend="auto",
+    tp_axis=None,
+    global_vocab=0,
 ):
     from functools import partial as _partial
 
@@ -433,10 +525,21 @@ def _model_step(
         spec, block_size,
         attention_fn=_partial(paged_attention, backend=attention_backend),
         write_runs=write_runs,
+        tp_axis=tp_axis,
     )
     top_k, top_p = filters if filters is not None else (None, None)
     seeds, steps = seed_info if seed_info is not None else (None, None)
-    tokens = sample_tokens(logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps)
+    if tp_axis is not None:
+        from byox_vllm_tpu.ops.sampler import sample_tokens_tp
+
+        tokens = sample_tokens_tp(
+            logits, temperatures, key, tp_axis, global_vocab,
+            top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
+        )
+    else:
+        tokens = sample_tokens(
+            logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps
+        )
     return tokens, kv_cache
 
 
@@ -484,6 +587,8 @@ def _multi_decode_step(
     attention_backend="auto",
     window_staged=False,
     fused_store=False,
+    tp_axis=None,
+    global_vocab=0,
 ):
     """K decode iterations in one device program: each iteration's sampled
     token feeds the next iteration's forward without leaving the chip. The
@@ -511,6 +616,14 @@ def _multi_decode_step(
             seeds, steps = seed_info[0], seed_info[1] + step_idx
         else:
             seeds, steps = None, None
+        if tp_axis is not None:
+            from byox_vllm_tpu.ops.sampler import sample_tokens_tp
+
+            return sample_tokens_tp(
+                logits, temperatures, jax.random.fold_in(key, step_idx),
+                tp_axis, global_vocab, top_k=top_k, top_p=top_p,
+                seeds=seeds, steps=steps,
+            )
         return sample_tokens(
             logits, temperatures, jax.random.fold_in(key, step_idx),
             top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
@@ -530,6 +643,7 @@ def _multi_decode_step(
                 attention_fn=attention_fn,
                 attention_backend=attention_backend,
                 fused_store=fused_store,
+                tp_axis=tp_axis,
             )
             next_tokens = sample(logits, step_idx)
             return (next_tokens, kv), next_tokens
@@ -590,6 +704,8 @@ def _spec_verify_step(
     spec,
     block_size,
     attention_backend="auto",
+    tp_axis=None,
+    global_vocab=0,
 ):
     """Speculative verify: one forward over the draft window scoring every
     position, then vectorized rejection sampling (ops/spec_sampler.py).
@@ -604,6 +720,7 @@ def _spec_verify_step(
         spec, block_size,
         attention_fn=_partial(paged_attention, backend=attention_backend),
         all_logits=True,
+        tp_axis=tp_axis,
     )
     top_k, top_p = filters if filters is not None else (None, None)
     tokens, num_emitted = verify_and_sample(

@@ -48,12 +48,13 @@ def _slice_layer(w, i):
     return w[i]
 
 
-def quantize_layer_params(layer_params: dict, bits: int) -> dict:
+def quantize_layer_params(layer_params: dict, bits: int, tp: int = 1) -> dict:
     """Quantize the four big per-layer matmul weights (stacked [L, K, M]);
-    norms/bias stay dense."""
+    norms/bias stay dense. ``tp`` caps the group so row-parallel scale rows
+    shard evenly (ops/quant.py::quantize_weight)."""
     out = dict(layer_params)
     for name in QUANTIZED_LAYER_WEIGHTS:
-        out[name] = quantize_weight(layer_params[name], bits)
+        out[name] = quantize_weight(layer_params[name], bits, tp=tp)
     return out
 
 
@@ -108,6 +109,7 @@ class Qwen3Spec:
     max_position_embeddings: int
     quant_bits: int | None = None  # weight-only quantization: None | 8 | 4
     act_bits: int | None = None  # 8 = W4A8: int8 activations on the int8 MXU
+    quant_tp: int = 1  # scale-row divisibility for shard_map TP (see ops/quant.py)
     # LM head quantization (untied heads only). Always int8 even for int4
     # body weights: the head is the single largest matrix (V x D, 1.2 GB
     # bf16 on 8B) and streams fully every decode step, but it is also the
@@ -192,7 +194,9 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
     if not spec.tie_word_embeddings:
         params["lm_head"] = w(spec.vocab_size, D)
     if spec.quant_bits is not None:
-        params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
+        params["layers"] = quantize_layer_params(
+            params["layers"], spec.quant_bits, tp=spec.quant_tp
+        )
     if spec.head_bits is not None and not spec.tie_word_embeddings:
         params["lm_head"] = quantize_head(params["lm_head"], spec.head_bits)
     return params
@@ -215,6 +219,7 @@ def forward(
     tail_index: Any = None,  # scalar int32 step-within-window (with decode_tails)
     attention_backend: str = "auto",
     fused_store: bool = False,  # decode: kernel-side KV store (config.fused_decode_store)
+    tp_axis: str | None = None,  # set when running per-shard inside shard_map
 ) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
@@ -235,7 +240,17 @@ def forward(
     b, tq = token_ids.shape
     positions = (context_lens - q_lens)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
 
-    h = params["embed"][token_ids]  # [B, Tq, D] gather
+    if tp_axis is not None:
+        # vocab-parallel embedding (reference: nanovllm/layers/embed_head.py
+        # :33-41): local lookup with out-of-shard ids masked to zero, then
+        # all-reduce sums the one non-zero contribution
+        vloc = params["embed"].shape[0]
+        local_ids = token_ids - jax.lax.axis_index(tp_axis) * vloc
+        ok = (local_ids >= 0) & (local_ids < vloc)
+        h = params["embed"][jnp.clip(local_ids, 0, vloc - 1)]
+        h = jax.lax.psum(h * ok[..., None].astype(h.dtype), tp_axis)
+    else:
+        h = params["embed"][token_ids]  # [B, Tq, D] gather
     inv_freq = rope_inv_freq(spec.head_dim, spec.rope_theta)
     cos, sin = rope_cos_sin(positions, inv_freq)  # [B, Tq, hd/2]
     flat_slots = slot_mapping.reshape(-1)
@@ -329,31 +344,44 @@ def forward(
                 kv_scales=kv_scales,
             )
         o = o.reshape(b, tq, spec.q_size)
-        h = h + _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)
+        attn_out = _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)
+        if tp_axis is not None:  # row-parallel: sum the partial products
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        h = h + attn_out
 
         x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
         gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits, spec.act_bits)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         y = jax.nn.silu(gate) * up
-        h = h + _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
+        mlp_out = _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        h = h + mlp_out
 
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed"])
 
-    def head(x):  # x [..., D] -> logits [..., V] f32
+    def head(x):  # x [..., D] -> logits [..., V] f32 (vocab-LOCAL under tp)
         if isinstance(lm_head, dict):  # int8 head, pre-transposed + V-padded
             out = quant_matmul(x, lm_head, spec.head_bits, out_dtype=jnp.float32)
+            if tp_axis is not None:
+                return out  # local vocab shard; the tp sampler masks padding
             return out[..., : spec.vocab_size]
         return jnp.einsum("...d,vd->...v", x, lm_head, preferred_element_type=jnp.float32)
 
     if all_logits:
-        return head(h), new_kv
+        logits = head(h)
+        if tp_axis is not None:
+            # full distributions (spec-decode verify): gather the vocab axis
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+            logits = logits[..., : spec.vocab_size]
+        return logits, new_kv
     last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
     return head(h_last), new_kv
 
 
-def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16) -> list:
+def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16, tp: int = 1) -> list:
     """Per-layer KV pool pytree, each pool [num_slots, nkv*hd] token-major
     flat rows (see ops/kv_cache.py for why). dtype int8 selects the
     quantized cache: per-layer (k, v, kv_scale) where kv_scale packs the
@@ -362,11 +390,14 @@ def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16) -> list:
     if jnp.dtype(dtype) == jnp.int8:
         from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
 
+        # under shard_map TP the scale pool shards its lane dim too: the
+        # GLOBAL pool is tp x SCALE_LANES wide so each shard sees a local
+        # [S, SCALE_LANES] row in ITS OWN local head layout
         return [
             (
                 jnp.zeros(shape, jnp.int8),
                 jnp.zeros(shape, jnp.int8),
-                jnp.zeros((num_slots, SCALE_LANES), jnp.bfloat16),
+                jnp.zeros((num_slots, SCALE_LANES * tp), jnp.bfloat16),
             )
             for _ in range(spec.num_layers)
         ]

@@ -67,15 +67,22 @@ def unpack_int4_np(packed) -> np.ndarray:
     return np.stack([lo, hi], axis=-2).reshape(*lead, kh * 2, m)
 
 
-def quantize_weight(w, bits: int = 8, group: int | None = None):
+def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1):
     """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}.
 
     Computed with jax pinned to the CPU backend (multithreaded — the numpy
     version cost ~25 min for an 8B model, dominated by single-threaded bf16
     conversions); the transient full-precision tensor never lands on the
-    accelerator. Outputs are CPU-committed; callers device_put them."""
+    accelerator. Outputs are CPU-committed; callers device_put them.
+
+    ``tp``: under shard_map tensor parallelism a row-parallel weight's K dim
+    shards tp ways, so its scale rows (K/G) must too — shrink the group
+    until (K/G) %% tp == 0 (no-op for real model sizes at G=128)."""
     *lead, k, m = w.shape
     g = group or pick_group(k, bits)
+    while tp > 1 and (k // g) % tp and g > (2 if bits == 4 else 1):
+        g //= 2
+    assert tp <= 1 or (k // g) % tp == 0, (k, g, tp)
     assert k % g == 0
     qmax = 127.0 if bits == 8 else 7.0
     cpu = jax.devices("cpu")[0]

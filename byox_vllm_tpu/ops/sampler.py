@@ -53,6 +53,75 @@ def sample_tokens(
     return jnp.where(temperatures > 0.0, sampled, greedy)
 
 
+def sample_tokens_tp(
+    logits_local: jnp.ndarray,  # [B, V_local] this shard's vocab columns
+    temperatures: jnp.ndarray,
+    key: jax.Array,
+    tp_axis: str,
+    global_vocab: int,
+    top_k=None,
+    top_p=None,
+    seeds=None,
+    steps=None,
+) -> jnp.ndarray:
+    """Vocab-parallel sampling under shard_map: every shard holds a
+    contiguous slice of the vocab's logits. Gumbel-max distributes exactly —
+    each shard draws INDEPENDENT noise for its own columns (fold the shard
+    index into the key), takes its local argmax, and the global argmax over
+    shards is a correct categorical sample. Padded head columns (global
+    index >= vocab) mask to -inf. top-k / top-p rows fall back to gathering
+    the full row (a per-request rarity; global sorts don't distribute)."""
+    b, vl = logits_local.shape
+    idx = jax.lax.axis_index(tp_axis)
+    cols = idx * vl + jnp.arange(vl, dtype=jnp.int32)
+    logits_local = jnp.where(
+        cols[None, :] < global_vocab, logits_local.astype(jnp.float32), -jnp.inf
+    )
+    if top_k is not None or top_p is not None:
+        full = jax.lax.all_gather(logits_local, tp_axis, axis=1, tiled=True)
+        return sample_tokens(
+            full, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps
+        )
+
+    greedy_val = jnp.max(logits_local, axis=-1)
+    greedy_idx = cols[jnp.argmax(logits_local, axis=-1)]
+
+    t = jnp.maximum(temperatures, 1e-6)[:, None]
+    if seeds is None:
+        gumbel = jax.random.gumbel(
+            jax.random.fold_in(key, idx), logits_local.shape, dtype=jnp.float32
+        )
+    else:
+        stream = jax.vmap(lambda i: jax.random.key_data(jax.random.fold_in(key, i)))(
+            jnp.arange(b, dtype=jnp.int32)
+        )
+        seeded = jax.vmap(
+            lambda s, st: jax.random.key_data(
+                jax.random.fold_in(jax.random.PRNGKey(s), st)
+            )
+        )(jnp.maximum(seeds, 0), steps)
+        row_keys = jnp.where((seeds >= 0)[:, None], seeded, stream)
+        gumbel = jax.vmap(
+            lambda kd: jax.random.gumbel(
+                jax.random.fold_in(jax.random.wrap_key_data(kd), idx), (vl,),
+                dtype=jnp.float32,
+            )
+        )(row_keys)
+    scores = logits_local / t + gumbel
+    samp_val = jnp.max(scores, axis=-1)
+    samp_idx = cols[jnp.argmax(scores, axis=-1)]
+
+    val = jnp.where(temperatures > 0.0, samp_val, greedy_val)  # [B]
+    tok = jnp.where(temperatures > 0.0, samp_idx, greedy_idx)
+    # global argmax across shards: gather the tp (value, token) candidates
+    vals = jax.lax.all_gather(val, tp_axis, axis=0)  # [tp, B]
+    toks = jax.lax.all_gather(tok, tp_axis, axis=0)
+    # ties broken toward the lower shard (matches single-device argmax for
+    # greedy: the first maximal index wins)
+    best = jnp.argmax(vals == jnp.max(vals, axis=0, keepdims=True), axis=0)  # [B]
+    return jnp.take_along_axis(toks, best[None, :], axis=0)[0].astype(jnp.int32)
+
+
 def _filter_top_k_top_p(logits, top_k, top_p):
     """Mask logits outside the per-row top-k / nucleus to -inf."""
     v = logits.shape[-1]

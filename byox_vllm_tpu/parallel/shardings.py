@@ -51,10 +51,19 @@ def qwen3_param_specs(params: dict, mesh=None) -> dict:
     def expand(key):
         base = layer_specs[key]
         value = params["layers"][key]
+        if isinstance(value, list):  # unstacked per-layer arrays: drop [L]
+            return [fit(P(*base[1:]), v) for v in value]
         if isinstance(value, dict):
             # quantized {"q", "s"}: scale dims mirror the weight dims
             # ([L, K/G, M] vs [L, K, M]), modulo divisibility
-            return {leaf: fit(base, v) for leaf, v in value.items()}
+            return {
+                leaf: (
+                    [fit(P(*base[1:]), vv) for vv in v]
+                    if isinstance(v, list)
+                    else fit(base, v)
+                )
+                for leaf, v in value.items()
+            }
         return fit(base, value)
 
     specs = {

@@ -74,3 +74,55 @@ def test_tp_engine_quantized_matches_single_device():
     )
     for a, b in zip(single, tp):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_tp_engine_int8_kv_matches_single_device():
+    """TP=2 with int8 KV cache: the scale pool shards its lane dim (global
+    [S, 128*tp]) and each shard quantizes/dequantizes its own head layout."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 256, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=32,
+        kvcache_block_size=16, kv_cache_dtype="int8", seed=7,
+    )
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    single = LLM(**common).generate(prompts, sp, use_tqdm=False)
+    tp = LLM(tensor_parallel_size=2, data_parallel_size=2, **common).generate(
+        prompts, sp, use_tqdm=False
+    )
+    for a, b in zip(single, tp):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_tp_engine_bf16_untied_head():
+    """TP=4 bf16 with an untied head: vocab-parallel head + distributed
+    greedy must match single-device exactly (tie-break toward lower index)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 512, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": False, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=32,
+        kvcache_block_size=16, seed=11,
+    )
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 2, 7]]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    single = LLM(**common).generate(prompts, sp, use_tqdm=False)
+    tp = LLM(tensor_parallel_size=4, **common).generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(single, tp):
+        assert a["token_ids"] == b["token_ids"]
