@@ -1,12 +1,31 @@
 """Offline throughput benchmark — methodology parity with the reference's
-bench.py: 128 sequences, input len ~U(100,128) random token ids, output len
-~U(100,128) with ignore_eos, temperature 0.6, Qwen3-0.6B geometry,
+bench.py (reference bench.py:17-48): N sequences, input len ~U(100,128) random
+token ids, output len ~U(100,128) with ignore_eos, temperature 0.6,
 max_model_len 256; metric = total generated tokens / wall-clock seconds after
-one warmup generate.
+one full warmup generate.
+
+Defaults to the NORTH-STAR config (BASELINE.md): Qwen3-8B geometry, INT4
+weights + INT8 KV cache, 128 sequences on one chip. Override with
+BYOX_BENCH_MODEL=0.6b BYOX_BENCH_QUANT= BYOX_BENCH_KV=auto for the
+0.6B BF16 parity run.
 
 No checkpoint is required (zero-egress environment): weights are
-random-initialized at the real Qwen3-0.6B shape, which exercises the
-identical compute/memory path. Prints one JSON line for the driver.
+random-initialized at the real model shape, which exercises the identical
+compute/memory path.
+
+Robustness contract (this file must never take down a round's evidence):
+  1. the accelerator backend is probed in a SUBPROCESS with retries and
+     backoff before anything imports jax in this process;
+  2. if in-process init still fails (flaky tunnel), the script re-execs
+     itself fresh up to BYOX_BENCH_REEXEC times;
+  3. if the accelerator never comes up, it falls back to a small CPU run
+     tagged `backend: "cpu_fallback"` under a distinct metric name;
+  4. any uncaught error still prints ONE structured JSON line (value 0,
+     `error` field) instead of a bare traceback, and exits 0.
+
+Prints exactly one JSON line on stdout:
+  {"metric", "value", "unit", "vs_baseline", plus north-star gate fields
+   (ttft_p50_s, ttft_p99_s, kv_gb_per_1k_seqs, ...) and "backend"}.
 """
 
 import glob
@@ -14,8 +33,10 @@ import json
 import os
 import random
 import re
+import subprocess
 import sys
 import time
+import traceback
 
 NUM_SEQS = 128
 MAX_INPUT_LEN = 128
@@ -29,6 +50,25 @@ QWEN3_0_6B = {
     "num_hidden_layers": 28,
     "num_attention_heads": 16,
     "num_key_value_heads": 8,
+    "head_dim": 128,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 1000000.0,
+    "tie_word_embeddings": True,
+    "attention_bias": False,
+    "max_position_embeddings": 40960,
+}
+
+# CPU-fallback geometry: structurally a Qwen3 but small enough that the
+# evidence line lands in seconds. Its numbers are NOT comparable to TPU runs
+# (distinct metric name + backend tag).
+QWEN3_TINY = {
+    "model_type": "qwen3",
+    "vocab_size": 4096,
+    "hidden_size": 256,
+    "intermediate_size": 768,
+    "num_hidden_layers": 4,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
     "head_dim": 128,
     "rms_norm_eps": 1e-6,
     "rope_theta": 1000000.0,
@@ -54,16 +94,96 @@ QWEN3_8B = {
 }
 
 
-def main():
+def _emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
+
+
+def _probe_backend() -> bool:
+    """Try to bring up the accelerator backend in a throwaway subprocess.
+
+    The round-1 failure mode (BENCH_r01.json) was a one-shot
+    `jax.errors.JaxRuntimeError: UNAVAILABLE: TPU backend setup/compile
+    error` at init — a transient tunnel fault that torched the round's
+    evidence. Probing out-of-process keeps this process's jax import
+    pristine and lets us retry with backoff."""
+    attempts = int(os.environ.get("BYOX_BENCH_PROBE_ATTEMPTS", "4"))
+    probe_timeout = int(os.environ.get("BYOX_BENCH_PROBE_TIMEOUT", "420"))
+    backoffs = [15, 45, 90, 120]
+    code = "import jax; d = jax.devices(); print(jax.default_backend(), len(d))"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout,
+                env=os.environ.copy(),
+            )
+            if r.returncode == 0:
+                print(f"# backend probe ok: {r.stdout.strip()}", file=sys.stderr)
+                return True
+            print(
+                f"# backend probe attempt {i + 1}/{attempts} failed (rc={r.returncode}): "
+                f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else '?'}",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe attempt {i + 1}/{attempts} timed out after {probe_timeout}s", file=sys.stderr)
+        if i < attempts - 1:
+            time.sleep(backoffs[min(i, len(backoffs) - 1)])
+    return False
+
+
+def _workload(num_seqs: int, seed: int = 0):
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    rng = random.Random(seed)
+    prompts = [
+        [rng.randint(0, 10000) for _ in range(rng.randint(100, MAX_INPUT_LEN))]
+        for _ in range(num_seqs)
+    ]
+    sampling = [
+        SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=rng.randint(100, MAX_OUTPUT_LEN))
+        for _ in range(num_seqs)
+    ]
+    return prompts, sampling
+
+
+def _kv_gb_per_1k_seqs(llm) -> float:
+    """North-star gate: KV bytes to hold 1000 sequences at max_model_len."""
+    runner = llm.model_runner
+    kv_bytes = sum(x.nbytes for lay in runner.kv_cache for x in lay)
+    per_token = kv_bytes / max(runner.num_slots, 1)
+    return round(per_token * llm.config.max_model_len * 1000 / 1e9, 3)
+
+
+def _run_bench() -> dict:
+    fallback = os.environ.get("BYOX_BENCH_FALLBACK") == "cpu"
+    if fallback or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # This environment's sitecustomize registers the TPU PJRT plugin and
+        # PINS jax_platforms (plain JAX_PLATFORMS env is overridden); force
+        # the CPU backend back before anything initializes a backend,
+        # otherwise the "CPU" fallback still blocks on the dead tunnel.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from byox_vllm_tpu.llm import LLM
     from byox_vllm_tpu.sampling_params import SamplingParams
 
-    random.seed(0)
-    num_seqs = int(os.environ.get("BYOX_BENCH_SEQS", NUM_SEQS))
-    quant = os.environ.get("BYOX_BENCH_QUANT")  # None | int8 | int4
-    kv_dtype = os.environ.get("BYOX_BENCH_KV", "auto")  # auto | int8
-    model = os.environ.get("BYOX_BENCH_MODEL", "0.6b")  # 0.6b | 8b
-    hf_cfg = QWEN3_8B if model == "8b" else QWEN3_0_6B
+    num_seqs = int(os.environ.get("BYOX_BENCH_SEQS", "8" if fallback else str(NUM_SEQS)))
+    # north-star defaults (BASELINE.md): Qwen3-8B INT4 weights + INT8 KV.
+    # CPU fallback shrinks to 0.6B BF16 so the evidence line still lands.
+    if fallback:
+        quant = os.environ.get("BYOX_BENCH_QUANT") or None
+        kv_dtype = os.environ.get("BYOX_BENCH_KV", "auto")
+        model = os.environ.get("BYOX_BENCH_MODEL", "tiny")
+    else:
+        quant = os.environ.get("BYOX_BENCH_QUANT", "int4") or None
+        kv_dtype = os.environ.get("BYOX_BENCH_KV", "int8")
+        model = os.environ.get("BYOX_BENCH_MODEL", "8b")
+    hf_cfg = {"8b": QWEN3_8B, "tiny": QWEN3_TINY}.get(model, QWEN3_0_6B)
+
     llm = LLM(
         hf_config=dict(hf_cfg),
         max_model_len=256,
@@ -75,28 +195,20 @@ def main():
         kv_cache_dtype=kv_dtype,
     )
 
-    prompts = [
-        [random.randint(0, 10000) for _ in range(random.randint(100, MAX_INPUT_LEN))]
-        for _ in range(num_seqs)
-    ]
-    sampling = [
-        SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=random.randint(100, MAX_OUTPUT_LEN))
-        for _ in range(num_seqs)
-    ]
+    prompts, sampling = _workload(num_seqs, seed=0)
 
-    # Warmup with a full same-shape workload on *different* prompts:
-    # compiles/loads every shape-bucket program the timed run will hit,
-    # without priming the prefix cache (cache hits would change the timed
-    # run's prefill shapes). The reference methodology warms up once too
-    # (bench.py:38); steady-state serving throughput is the metric.
-    warm_prompts = [
-        [random.randint(0, 10000) for _ in range(len(p))] for p in prompts
-    ]
+    # Warmup with a full same-shape workload on *different* prompts: compiles
+    # every shape-bucket program the timed run will hit without priming the
+    # prefix cache (hits would change the timed run's prefill shapes). The
+    # reference warms up once too (bench.py:38); steady-state serving
+    # throughput is the metric.
+    warm_prompts, _ = _workload(num_seqs, seed=1)
     llm.generate(
         warm_prompts,
         [SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=sp.max_tokens) for sp in sampling],
         use_tqdm=False,
     )
+    llm.metrics = type(llm.metrics)()  # reset gate counters: report the timed run only
 
     t0 = time.time()
     llm.generate(prompts, sampling, use_tqdm=False)
@@ -108,34 +220,78 @@ def main():
     if kv_dtype != "auto":
         tag += f"_kv{kv_dtype}"
     metric = f"offline_throughput_qwen3_{model}_{tag}"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(tok_s, 2),
-                "unit": "tok/s",
-                "vs_baseline": _vs_previous_round(metric, tok_s),
-            }
-        )
-    )
+    if fallback:
+        metric += "_cpu_fallback"
+
+    msum = llm.metrics.summary()
+    import jax
+
+    return {
+        "metric": metric,
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": _vs_previous_round(metric, tok_s),
+        "backend": "cpu_fallback" if fallback else jax.default_backend(),
+        "num_seqs": num_seqs,
+        "total_tokens": total_tokens,
+        "wall_s": round(dt, 2),
+        # north-star gates (BASELINE.md): p50 TTFT < 200 ms measured under
+        # full queue load (all requests admitted at t=0), KV GB per 1k seqs
+        "ttft_p50_s": msum["ttft_p50_s"],
+        "ttft_p99_s": msum["ttft_p99_s"],
+        "latency_p50_s": msum["latency_p50_s"],
+        "kv_gb_per_1k_seqs": _kv_gb_per_1k_seqs(llm),
+        "num_kvcache_blocks": llm.config.num_kvcache_blocks,
+    }
 
 
 def _vs_previous_round(metric: str, value: float) -> float:
-    """Ratio vs the most recent recorded round (driver writes BENCH_r{N}.json);
-    1.0 when no prior same-metric record exists (the reference publishes no
-    numbers to compare against, BASELINE.md)."""
+    """Ratio vs the most recent recorded round. The driver writes
+    BENCH_r{N}.json as {"rc", "parsed": {...the JSON line...}, ...}; older
+    hand-written records may hold the line at top level. 1.0 when no prior
+    same-metric record exists (the reference publishes no numbers,
+    BASELINE.md)."""
     best = None
     for path in glob.glob("BENCH_r*.json"):
         try:
             rec = json.load(open(path))
         except Exception:
             continue
-        if rec.get("metric") == metric and rec.get("value"):
+        inner = rec.get("parsed") if isinstance(rec.get("parsed"), dict) else rec
+        if inner.get("metric") == metric and inner.get("value"):
             n = int(re.search(r"BENCH_r(\d+)", path).group(1))
             if best is None or n > best[0]:
-                best = (n, rec["value"])
+                best = (n, inner["value"])
     return round(value / best[1], 4) if best else 1.0
-    print(f"# {total_tokens} tokens in {dt:.2f}s", file=sys.stderr)
+
+
+def main() -> None:
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+    fallback = os.environ.get("BYOX_BENCH_FALLBACK") == "cpu"
+    if not (want_cpu or fallback) and not _probe_backend():
+        # accelerator never came up: CPU fallback keeps the evidence line
+        if os.environ.get("BYOX_BENCH_NO_CPU_FALLBACK"):
+            _emit({"metric": "offline_throughput", "value": 0, "unit": "tok/s",
+                   "vs_baseline": 0, "error": "accelerator backend unavailable after retries"})
+            return
+        env = os.environ.copy()
+        env["JAX_PLATFORMS"] = "cpu"
+        env["BYOX_BENCH_FALLBACK"] = "cpu"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+    try:
+        _emit(_run_bench())
+    except Exception as e:
+        traceback.print_exc()
+        reexecs = int(os.environ.get("BYOX_BENCH_REEXEC", "2"))
+        if reexecs > 0:
+            # flaky backend mid-run: a fresh process gets a fresh jax
+            print(f"# bench failed ({e!r}); re-exec with {reexecs - 1} retries left", file=sys.stderr)
+            env = os.environ.copy()
+            env["BYOX_BENCH_REEXEC"] = str(reexecs - 1)
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        _emit({"metric": "offline_throughput", "value": 0, "unit": "tok/s",
+               "vs_baseline": 0, "error": repr(e)[:500]})
 
 
 if __name__ == "__main__":

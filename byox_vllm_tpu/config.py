@@ -30,6 +30,11 @@ class Config:
     gpu_memory_utilization: float = 0.9
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # The reference's enforce_eager disables CUDA-graph capture
+    # (nanovllm/engine/model_runner.py:37-38). XLA has no eager escape hatch,
+    # so the TPU analogue is the maximally-simple execution path: dense
+    # (non-Pallas) attention, one decode step per device call, no async
+    # pipelining. Useful for debugging numerics; see __post_init__.
     enforce_eager: bool = False
     hf_config: Any = None
     eos: int = -1
@@ -81,6 +86,13 @@ class Config:
             # without chunking a prompt must fit one prefill step (the
             # reference's invariant, nanovllm/config.py:27)
             assert self.max_num_batched_tokens >= self.max_model_len
+
+        if self.enforce_eager:
+            self.attention_backend = "dense"
+            self.num_decode_steps = 1
+            self.async_decode = False
+            self.window_staged_decode = False
+            self.fused_decode_store = False
 
         if isinstance(self.speculative_config, dict):
             self.speculative_config = SpeculativeConfig(**self.speculative_config)

@@ -215,5 +215,7 @@ def prepare_spec_verify(
         is_prefill=False,
         top_k=_sampling_filters(seqs)[0],
         top_p=_sampling_filters(seqs)[1],
+        seeds=_sampling_seeds(seqs)[0],
+        steps=_sampling_seeds(seqs)[1],
     )
     return batch, draft_matrix, num_drafts

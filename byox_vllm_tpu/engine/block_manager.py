@@ -104,35 +104,59 @@ class BlockManager:
 
     # -- allocation -------------------------------------------------------
 
-    def allocate(self, seq: Sequence) -> None:
-        """Allocate all blocks for a (re)starting sequence, reusing any
-        prefix-cached blocks. After the first miss, all later blocks miss
-        (the chained hash can no longer match)."""
-        assert not seq.block_table
-        h = -1
-        cache_miss = False
+    def _chained_hashes(self, seq: Sequence) -> list[int]:
+        """Per-block chained hash for every FULL block of the sequence; -1 for
+        the partial tail. Equal hashes imply equal whole prefixes."""
+        hashes, parent = [], -1
         for i in range(seq.num_blocks):
-            token_ids = seq.block(i)
-            h = compute_block_hash(token_ids, h) if len(token_ids) == self.block_size else -1
-            cached_id = self.hash_to_block_id.get(h, -1)
-            if cached_id == -1 or self.blocks[cached_id].token_ids != token_ids:
-                cache_miss = True
-            if cache_miss:
-                block_id = self.free_block_ids[0]
-                block = self._take_block(block_id)
+            ids = seq.block(i)
+            parent = compute_block_hash(ids, parent) if len(ids) == self.block_size else -1
+            hashes.append(parent)
+        return hashes
+
+    def _reusable_prefix(self, seq: Sequence, hashes: list[int]) -> list[int]:
+        """Block ids of the longest cached prefix run: consecutive full blocks
+        from position 0 whose hash resolves to a pool block still holding
+        identical token ids (the equality re-check guards against both hash
+        collisions and deliberately-stale map entries)."""
+        run: list[int] = []
+        for i, h in enumerate(hashes):
+            if h == -1:
+                break
+            bid = self.hash_to_block_id.get(h)
+            if bid is None or self.blocks[bid].token_ids != seq.block(i):
+                break
+            run.append(bid)
+        return run
+
+    def allocate(self, seq: Sequence) -> None:
+        """Give a (re)starting sequence its block table in two phases: claim
+        the longest prefix-cache run, then draw fresh blocks for the rest.
+        (A chained hash cannot match past the first miss, so the cached part
+        is always a prefix run.)"""
+        assert not seq.block_table, "sequence already holds blocks"
+        hashes = self._chained_hashes(seq)
+        reused = self._reusable_prefix(seq, hashes)
+
+        for i, bid in enumerate(reused):
+            if bid in self.used_block_ids:
+                blk = self.blocks[bid]
+                blk.ref_count += 1
             else:
-                block_id = cached_id
-                seq.num_cached_tokens += self.block_size
-                if block_id in self.used_block_ids:
-                    block = self.blocks[block_id]
-                    block.ref_count += 1
-                else:
-                    # hit on a freed block: resurrect it from the free list
-                    block = self._take_block(block_id)
-            if h != -1:
-                block.update(h, token_ids)
-                self.hash_to_block_id[h] = block_id
-            seq.block_table.append(block_id)
+                # hit on a freed block: resurrect it from the free list
+                blk = self._take_block(bid)
+            blk.update(hashes[i], seq.block(i))
+            self.hash_to_block_id[hashes[i]] = bid
+            seq.block_table.append(bid)
+
+        for i in range(len(reused), seq.num_blocks):
+            blk = self._take_block(self.free_block_ids[0])
+            if hashes[i] != -1:
+                blk.update(hashes[i], seq.block(i))
+                self.hash_to_block_id[hashes[i]] = blk.block_id
+            seq.block_table.append(blk.block_id)
+
+        seq.num_cached_tokens = len(reused) * self.block_size
         if seq.num_cached_tokens == len(seq):
             # Fully-cached prompt: recompute the last token anyway — sampling
             # the next token needs its logits. (The reference would submit an

@@ -270,11 +270,12 @@ class ModelRunner:
                 return ins, (P(Dx, None), kv_specs)
 
             def verify_specs(args):
-                filters = args[-1]
+                filters, seed_info = args[-2], args[-1]
                 ins = (
                     param_specs, kv_specs, P(Dx, None), P(Dx), P(Dx),
                     P(Dx, None), P(Dx, None), P(Dx, None), P(Dx), P(Dx), P(),
                     opt((P(Dx), P(Dx)), filters),
+                    opt((P(Dx), P(Dx)), seed_info),
                 )
                 return ins, (P(Dx, None), P(Dx), kv_specs)
 
@@ -476,6 +477,9 @@ class ModelRunner:
                 jnp.asarray(pad_rows(filters[0])),
                 jnp.asarray(pad_rows(filters[1].astype(np.float32), fill=1.0)),
             )
+        seed_info = None
+        if padded.seeds is not None:
+            seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
         tokens, num_emitted, self.kv_cache = self._spec_verify(
             self.params,
             self.kv_cache,
@@ -489,6 +493,7 @@ class ModelRunner:
             jnp.asarray(padded.temperatures),
             step_key,
             padded_filters,
+            seed_info,
         )
         tokens = np.asarray(tokens)[:n]
         num_emitted = np.asarray(num_emitted)[:n]
@@ -699,6 +704,7 @@ def _spec_verify_step(
     temperatures,  # [B]
     key,
     filters=None,
+    seed_info=None,
     *,
     forward_fn,
     spec,
@@ -723,7 +729,9 @@ def _spec_verify_step(
         tp_axis=tp_axis,
     )
     top_k, top_p = filters if filters is not None else (None, None)
+    seeds, steps = seed_info if seed_info is not None else (None, None)
     tokens, num_emitted = verify_and_sample(
-        logits, draft_tokens, num_drafts, temperatures, key, top_k=top_k, top_p=top_p
+        logits, draft_tokens, num_drafts, temperatures, key,
+        top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
     )
     return tokens, num_emitted, kv_cache

@@ -1,87 +1,145 @@
 """Request state tracking.
 
-Behavioral parity with the reference ``Sequence`` (nanovllm/engine/sequence.py:
-8-77): token list, prompt/cached token counts, block table, block arithmetic.
-Extended with per-request PRNG seeds and speculative-decoding bookkeeping.
+Behavioral parity with the reference ``Sequence`` (nanovllm/engine/
+sequence.py:8-77) — same externally observable surface (token list, prompt/
+cached counts, block table, block arithmetic) — but structured differently:
+the prompt is immutable and completions accumulate in their own list (the
+full token stream is the concatenation), sampling knobs delegate to the
+stored ``SamplingParams`` instead of being copied field-by-field, and block
+geometry is derived on demand. Extended with per-request PRNG seeds,
+speculative-decoding bookkeeping, async in-flight accounting, and request
+timing for TTFT/latency metrics.
 """
 
-from copy import copy
-from enum import Enum, auto
-from itertools import count
+import enum
+import itertools
+from dataclasses import dataclass, field
 
 from byox_vllm_tpu.sampling_params import SamplingParams
 
-
-class SequenceStatus(Enum):
-    WAITING = auto()
-    RUNNING = auto()
-    FINISHED = auto()
+_fresh_seq_id = itertools.count().__next__
 
 
+class SequenceStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    FINISHED = enum.auto()
+
+
+@dataclass(eq=False, repr=False)
 class Sequence:
-    counter = count()
+    prompt: list[int]
+    block_size: int = 64
+    sampling_params: SamplingParams | None = None
 
-    def __init__(self, token_ids: list[int], block_size: int, sampling_params: SamplingParams | None = None):
-        if sampling_params is None:
-            sampling_params = SamplingParams()
-        self.seq_id = next(Sequence.counter)
-        self.status = SequenceStatus.WAITING
-        self.token_ids = copy(token_ids)
-        self.last_token = token_ids[-1]
-        self.num_tokens = len(self.token_ids)
-        self.num_prompt_tokens = len(token_ids)
-        self.num_cached_tokens = 0
-        # prefill progress: tokens whose KV is computed & in the pool. Equals
-        # num_cached_tokens after allocation; advances per chunk when chunked
-        # prefill splits a long prompt across steps.
-        self.num_computed_tokens = 0
-        # tokens of this seq scheduled for the CURRENT prefill step
-        self.scheduled_chunk = 0
-        self.block_table: list[int] = []
-        self.temperature = sampling_params.temperature
-        self.max_tokens = sampling_params.max_tokens
-        self.ignore_eos = sampling_params.ignore_eos
-        self.top_k = sampling_params.top_k
-        self.top_p = sampling_params.top_p
-        self.seed = sampling_params.seed
-        self.block_size = block_size
-        # Speculative decoding: number of draft tokens scheduled for
-        # verification this step (0 on the normal 1-token decode path).
-        self.num_draft_tokens = 0
-        # Async pipelined decode: tokens dispatched to the device but not yet
-        # fetched/confirmed. The scheduler reserves blocks for them and the
-        # batch prep offsets positions by them; the engine clears the count
-        # when the window's tokens are committed.
-        self.in_flight = 0
-        # request-level timing (engine metrics: TTFT, latency)
-        self.arrival_time: float | None = None
-        self.first_token_time: float | None = None
-        self.finish_time: float | None = None
+    # identity / lifecycle
+    seq_id: int = field(default_factory=_fresh_seq_id, init=False)
+    status: SequenceStatus = field(default=SequenceStatus.WAITING, init=False)
 
-    def __len__(self):
+    # generated tokens (the full stream is prompt + completion)
+    completion: list[int] = field(default_factory=list, init=False)
+
+    # KV bookkeeping — how much of the stream is (a) prefix-cache reused,
+    # (b) computed into the pool, (c) scheduled for the current prefill chunk
+    num_cached_tokens: int = field(default=0, init=False)
+    num_computed_tokens: int = field(default=0, init=False)
+    scheduled_chunk: int = field(default=0, init=False)
+    block_table: list[int] = field(default_factory=list, init=False)
+
+    # speculative decoding: draft tokens scheduled for verification this step
+    num_draft_tokens: int = field(default=0, init=False)
+    # async pipelined decode: tokens dispatched to the device but not yet
+    # fetched/confirmed (the scheduler reserves blocks for them; batch prep
+    # offsets positions by them)
+    in_flight: int = field(default=0, init=False)
+
+    # request timing (engine metrics: TTFT, end-to-end latency)
+    arrival_time: float | None = field(default=None, init=False)
+    first_token_time: float | None = field(default=None, init=False)
+    finish_time: float | None = field(default=None, init=False)
+
+    def __post_init__(self):
+        assert self.prompt, "empty prompt"
+        self.prompt = list(self.prompt)
+        if self.sampling_params is None:
+            self.sampling_params = SamplingParams()
+
+    # -- token stream -------------------------------------------------------
+
+    @property
+    def token_ids(self) -> list[int]:
+        return self.prompt + self.completion
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.prompt) + len(self.completion)
+
+    def __len__(self) -> int:
         return self.num_tokens
 
     def __getitem__(self, key):
         return self.token_ids[key]
 
-    def __repr__(self):
-        return f"seq-{self.seq_id}"
+    @property
+    def last_token(self) -> int:
+        return self.completion[-1] if self.completion else self.prompt[-1]
 
     @property
-    def is_finished(self) -> bool:
-        return self.status == SequenceStatus.FINISHED
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt)
 
     @property
     def num_completion_tokens(self) -> int:
-        return self.num_tokens - self.num_prompt_tokens
+        return len(self.completion)
 
     @property
     def prompt_token_ids(self) -> list[int]:
-        return self.token_ids[: self.num_prompt_tokens]
+        return list(self.prompt)
 
     @property
     def completion_token_ids(self) -> list[int]:
-        return self.token_ids[self.num_prompt_tokens :]
+        return list(self.completion)
+
+    def append_token(self, token_id: int) -> None:
+        self.completion.append(token_id)
+
+    def pop_tokens(self, n: int) -> None:
+        """Roll back the last ``n`` generated tokens (spec-decode rejection)."""
+        assert 0 <= n <= len(self.completion)
+        if n:
+            del self.completion[-n:]
+
+    # -- sampling knobs (delegated) ------------------------------------------
+
+    @property
+    def temperature(self) -> float:
+        return self.sampling_params.temperature
+
+    @property
+    def max_tokens(self) -> int:
+        return self.sampling_params.max_tokens
+
+    @property
+    def ignore_eos(self) -> bool:
+        return self.sampling_params.ignore_eos
+
+    @property
+    def top_k(self) -> int:
+        return self.sampling_params.top_k
+
+    @property
+    def top_p(self) -> float:
+        return self.sampling_params.top_p
+
+    @property
+    def seed(self):
+        return self.sampling_params.seed
+
+    # -- lifecycle ------------------------------------------------------------
+
+    @property
+    def is_finished(self) -> bool:
+        return self.status is SequenceStatus.FINISHED
 
     @property
     def num_pending_prefill_tokens(self) -> int:
@@ -89,32 +147,26 @@ class Sequence:
         # its generated tokens too (recompute-style preemption)
         return self.num_tokens - self.num_computed_tokens
 
+    # -- block geometry (derived) ---------------------------------------------
+
+    @property
+    def num_blocks(self) -> int:
+        return -(-self.num_tokens // self.block_size)
+
     @property
     def num_cached_blocks(self) -> int:
         return self.num_cached_tokens // self.block_size
 
     @property
-    def num_blocks(self) -> int:
-        return (self.num_tokens + self.block_size - 1) // self.block_size
-
-    @property
     def last_block_num_tokens(self) -> int:
-        return self.num_tokens - (self.num_blocks - 1) * self.block_size
+        rem = self.num_tokens % self.block_size
+        return rem if rem else self.block_size
 
     def block(self, i: int) -> list[int]:
+        """Token ids covered by the i-th KV page."""
         assert 0 <= i < self.num_blocks
-        return self.token_ids[i * self.block_size : (i + 1) * self.block_size]
+        lo = i * self.block_size
+        return self.token_ids[lo : lo + self.block_size]
 
-    def append_token(self, token_id: int) -> None:
-        self.token_ids.append(token_id)
-        self.last_token = token_id
-        self.num_tokens += 1
-
-    def pop_tokens(self, n: int) -> None:
-        """Roll back the last ``n`` tokens (speculative-decode rejection)."""
-        assert 0 <= n <= self.num_completion_tokens
-        if n == 0:
-            return
-        del self.token_ids[-n:]
-        self.num_tokens -= n
-        self.last_token = self.token_ids[-1]
+    def __repr__(self):
+        return f"Sequence(id={self.seq_id}, n={self.num_tokens}, {self.status.name.lower()})"

@@ -14,6 +14,20 @@ import jax
 import jax.numpy as jnp
 
 
+def derive_row_keys(key: jax.Array, seeds: jnp.ndarray, steps: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Per-row PRNG key data [B, 2]: a seeded row's key depends only on
+    (seed, its own sample index) — independent of batch composition, which
+    the engine-level key stream cannot give. Unseeded rows (-1) draw from
+    the engine key folded with their row index."""
+    stream = jax.vmap(lambda i: jax.random.key_data(jax.random.fold_in(key, i)))(
+        jnp.arange(b, dtype=jnp.int32)
+    )
+    seeded = jax.vmap(
+        lambda s, st: jax.random.key_data(jax.random.fold_in(jax.random.PRNGKey(s), st))
+    )(jnp.maximum(seeds, 0), steps)
+    return jnp.where((seeds >= 0)[:, None], seeded, stream)
+
+
 def sample_tokens(
     logits: jnp.ndarray,  # [B, V] any float dtype
     temperatures: jnp.ndarray,  # [B] fp32
@@ -33,19 +47,8 @@ def sample_tokens(
     if seeds is None:
         gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
     else:
-        # Per-request reproducibility: a seeded row's noise depends only on
-        # (seed, its own sample index) — independent of batch composition,
-        # which the engine-level key stream cannot give.
         b, v = logits.shape
-        stream = jax.vmap(lambda i: jax.random.key_data(jax.random.fold_in(key, i)))(
-            jnp.arange(b, dtype=jnp.int32)
-        )
-        seeded = jax.vmap(
-            lambda s, st: jax.random.key_data(
-                jax.random.fold_in(jax.random.PRNGKey(s), st)
-            )
-        )(jnp.maximum(seeds, 0), steps)
-        row_keys = jnp.where((seeds >= 0)[:, None], seeded, stream)
+        row_keys = derive_row_keys(key, seeds, steps, b)
         gumbel = jax.vmap(
             lambda kd: jax.random.gumbel(jax.random.wrap_key_data(kd), (v,), dtype=jnp.float32)
         )(row_keys)
@@ -92,15 +95,7 @@ def sample_tokens_tp(
             jax.random.fold_in(key, idx), logits_local.shape, dtype=jnp.float32
         )
     else:
-        stream = jax.vmap(lambda i: jax.random.key_data(jax.random.fold_in(key, i)))(
-            jnp.arange(b, dtype=jnp.int32)
-        )
-        seeded = jax.vmap(
-            lambda s, st: jax.random.key_data(
-                jax.random.fold_in(jax.random.PRNGKey(s), st)
-            )
-        )(jnp.maximum(seeds, 0), steps)
-        row_keys = jnp.where((seeds >= 0)[:, None], seeded, stream)
+        row_keys = derive_row_keys(key, seeds, steps, b)
         gumbel = jax.vmap(
             lambda kd: jax.random.gumbel(
                 jax.random.fold_in(jax.random.wrap_key_data(kd), idx), (vl,),

@@ -19,7 +19,7 @@ vocab row per sequence.
 import jax
 import jax.numpy as jnp
 
-from byox_vllm_tpu.ops.sampler import _filter_top_k_top_p
+from byox_vllm_tpu.ops.sampler import _filter_top_k_top_p, derive_row_keys
 
 
 def verify_and_sample(
@@ -30,6 +30,8 @@ def verify_and_sample(
     key: jax.Array,
     top_k: jnp.ndarray | None = None,  # [B] int32, 0 = off
     top_p: jnp.ndarray | None = None,  # [B] fp32, 1.0 = off
+    seeds: jnp.ndarray | None = None,  # [B] int32, -1 = engine key stream
+    steps: jnp.ndarray | None = None,  # [B] int32 per-seq sample counter
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, K+1] int32, num_emitted [B] int32). Row b's first
     ``num_emitted[b]`` = accepted drafts + one sampled token. With top-k/p
@@ -55,8 +57,24 @@ def verify_and_sample(
     p_draft = jnp.exp(draft_logit - lse[:, :k])  # [B, K]
     argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
 
-    key_u, key_g = jax.random.split(key)
-    u = jax.random.uniform(key_u, (b, k), dtype=jnp.float32)
+    if seeds is None:
+        key_u, key_g = jax.random.split(key)
+        u = jax.random.uniform(key_u, (b, k), dtype=jnp.float32)
+        gumbel = jax.random.gumbel(key_g, (b, v), dtype=jnp.float32)
+    else:
+        # per-request reproducible randomness: one row key per verify call,
+        # split into acceptance-uniform and final-sample-gumbel streams
+        row_keys = derive_row_keys(key, seeds, steps, b)
+        u = jax.vmap(
+            lambda kd: jax.random.uniform(
+                jax.random.fold_in(jax.random.wrap_key_data(kd), 0), (k,), dtype=jnp.float32
+            )
+        )(row_keys)
+        gumbel = jax.vmap(
+            lambda kd: jax.random.gumbel(
+                jax.random.fold_in(jax.random.wrap_key_data(kd), 1), (v,), dtype=jnp.float32
+            )
+        )(row_keys)
     accept_sample = u < p_draft
     accept_greedy = argmax_tok[:, :k] == draft_tokens
     accept = jnp.where(greedy, accept_greedy, accept_sample)
@@ -82,7 +100,6 @@ def verify_and_sample(
         -jnp.inf,
         final_logits,
     )
-    gumbel = jax.random.gumbel(key_g, (b, v), dtype=jnp.float32)
     sampled = jnp.argmax(final_logits + gumbel, axis=-1).astype(jnp.int32)
     greedy_tok = jnp.argmax(final_logits, axis=-1).astype(jnp.int32)
     final_token = jnp.where(greedy[:, 0], greedy_tok, sampled)

@@ -4,7 +4,7 @@
 // the *host* control plane, the part of the serving loop that runs every
 // step in Python in the reference (nanovllm keeps it pure Python and leans
 // on the xxhash C extension + numpy): chained block hashing for the prefix
-// cache, the ngram draft-proposal scan, and padded batch assembly. At large
+// cache and the ngram draft-proposal scan. At large
 // batch x small step times these loops show up; here they are O(n) C++ with
 // no interpreter in the loop. Python fallbacks exist for every entry point
 // (byox_vllm_tpu/utils/native.py) so the extension is an acceleration, not

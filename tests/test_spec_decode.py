@@ -254,3 +254,67 @@ def test_draft_model_spec_survives_preemption(tiny_model_dir):
     for a, b in zip(plain, out):
         assert a["token_ids"] == b["token_ids"]
     assert tight.scheduler.block_manager.num_free_blocks == 9
+
+
+def test_verify_seeded_rows_batch_independent():
+    """A seeded row's verify randomness depends only on (seed, step): the
+    same row must accept/sample identically regardless of batch company or
+    the engine-level key."""
+    import jax
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.ops.spec_sampler import verify_and_sample
+
+    rng = np.random.default_rng(0)
+    v, k = 32, 3
+    row_logits = rng.normal(size=(1, k + 1, v)).astype(np.float32)
+    drafts_row = rng.integers(0, v, size=(1, k)).astype(np.int32)
+
+    def run(batch_logits, drafts, seeds, steps, key):
+        tokens, emitted = verify_and_sample(
+            jnp.asarray(batch_logits), jnp.asarray(drafts),
+            jnp.full(len(seeds), k, jnp.int32),
+            jnp.full(len(seeds), 0.9, jnp.float32),
+            jax.random.PRNGKey(key),
+            seeds=jnp.asarray(seeds, jnp.int32), steps=jnp.asarray(steps, jnp.int32),
+        )
+        return np.asarray(tokens)[0], int(np.asarray(emitted)[0])
+
+    solo = run(row_logits, drafts_row, [77], [5], key=0)
+    noise = rng.normal(size=(2, k + 1, v)).astype(np.float32)
+    crowd = run(
+        np.concatenate([row_logits, noise]),
+        np.concatenate([drafts_row, rng.integers(0, v, size=(2, k)).astype(np.int32)]),
+        [77, -1, 123], [5, 0, 9], key=42,  # different engine key too
+    )
+    assert solo[1] == crowd[1]
+    assert solo[0][: solo[1]].tolist() == crowd[0][: crowd[1]].tolist()
+
+
+def test_spec_seeded_generation_reproducible(tiny_model_dir):
+    """Per-request seeds are honored under speculative decoding: two fresh
+    engines produce the identical sampled stream for a seeded request, even
+    with different batch company."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=16,
+        speculative_config={
+            "method": "ngram", "num_speculative_tokens": 4,
+            "prompt_lookup_max": 3, "prompt_lookup_min": 1,
+        },
+    )
+    prompt = [1, 2, 3, 1, 2, 3, 1, 2]
+    sp = SamplingParams(temperature=0.8, max_tokens=20, seed=1234)
+
+    solo = LLM(tiny_model_dir, **common).generate([prompt], sp, use_tqdm=False)
+    crowd_llm = LLM(tiny_model_dir, **common)
+    crowd = crowd_llm.generate(
+        [prompt, [7, 8, 7, 8, 7, 8]],
+        [sp, SamplingParams(temperature=0.9, max_tokens=20)],
+        use_tqdm=False,
+    )
+    assert solo[0]["token_ids"] == crowd[0]["token_ids"]
+    assert crowd_llm.spec_metrics.summary()["num_drafts"] > 0
