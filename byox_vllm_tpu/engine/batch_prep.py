@@ -144,23 +144,44 @@ def prepare_decode(seqs: list[Sequence], block_size: int, lookahead: int = 1) ->
     )
 
 
-def pad_batch(batch: StepBatch, num_seqs: int, num_tokens: int, table_width: int) -> StepBatch:
+def lane_rows(group_sizes: list[int], stride: int) -> np.ndarray:
+    """Destination row of each source row when lane group L occupies rows
+    [L*stride, L*stride + group_sizes[L]) of the padded batch (data-parallel
+    layout: shard_map splits the batch into contiguous per-lane chunks)."""
+    return np.concatenate(
+        [lane * stride + np.arange(n, dtype=np.int64) for lane, n in enumerate(group_sizes)]
+    ) if group_sizes else np.zeros(0, np.int64)
+
+
+def pad_batch(
+    batch: StepBatch,
+    num_seqs: int,
+    num_tokens: int,
+    table_width: int,
+    rows: np.ndarray | None = None,
+) -> StepBatch:
     """Pad a StepBatch up to bucketed [num_seqs, num_tokens] / table width so
     the jitted step function compiles once per bucket (the XLA analogue of the
     reference's CUDA-graph batch-size buckets, model_runner.py:256-297).
-    Padding rows have q_len 0, context_len 0, slots/blocks -1."""
+    Padding rows have q_len 0, context_len 0, slots/blocks -1.
+
+    ``rows`` (optional, from ``lane_rows``) scatters source row i to padded
+    row rows[i] instead of the identity layout — the data-parallel grouped
+    placement."""
     b, tq = batch.token_ids.shape
     w = batch.block_tables.shape[1]
     assert num_seqs >= b and num_tokens >= tq and table_width >= w
+    dst = np.arange(b) if rows is None else rows
+    assert len(dst) == b and (b == 0 or dst.max() < num_seqs)
 
-    def pad2(arr, rows, cols, fill):
-        out = np.full((rows, cols), fill, dtype=arr.dtype)
-        out[:b, : arr.shape[1]] = arr
+    def pad2(arr, rows_, cols, fill):
+        out = np.full((rows_, cols), fill, dtype=arr.dtype)
+        out[dst, : arr.shape[1]] = arr
         return out
 
-    def pad1(arr, rows, fill):
-        out = np.full(rows, fill, dtype=arr.dtype)
-        out[:b] = arr
+    def pad1(arr, rows_, fill):
+        out = np.full(rows_, fill, dtype=arr.dtype)
+        out[dst] = arr
         return out
 
     return StepBatch(

@@ -17,7 +17,7 @@ import time
 from byox_vllm_tpu.config import config_from_kwargs
 from byox_vllm_tpu.engine.metrics import EngineMetrics
 from byox_vllm_tpu.engine.model_runner import ModelRunner
-from byox_vllm_tpu.engine.scheduler import Scheduler
+from byox_vllm_tpu.engine.scheduler import make_scheduler
 from byox_vllm_tpu.engine.sequence import Sequence
 from byox_vllm_tpu.sampling_params import SamplingParams
 from byox_vllm_tpu.utils.logging import logger
@@ -68,7 +68,7 @@ class LLMEngine:
                 raise AssertionError(f"unsupported speculative method {sc.method!r}")
             self.spec_metrics = SpecMetrics()
             lookahead = sc.num_speculative_tokens + 1
-        self.scheduler = Scheduler(config, decode_lookahead=lookahead)
+        self.scheduler = make_scheduler(config, decode_lookahead=lookahead)
         self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
         self.metrics = EngineMetrics()
         # async pipelined decode state: the window currently in flight —

@@ -27,6 +27,7 @@ import numpy as np
 
 from byox_vllm_tpu.config import Config
 from byox_vllm_tpu.engine.batch_prep import (
+    lane_rows,
     pad_batch,
     prepare_decode,
     prepare_prefill,
@@ -42,6 +43,7 @@ class PendingDecode:
     tokens: object  # jax [B_padded, K] int32 (device)
     num_seqs: int
     lookahead: int
+    rows: object = None  # np [n] padded-row of each seq (data-parallel layout)
 from byox_vllm_tpu.models import get_model
 from byox_vllm_tpu.ops.sampler import sample_tokens
 from byox_vllm_tpu.parallel.mesh import make_mesh
@@ -150,6 +152,7 @@ class ModelRunner:
             logger.warning("no model path given: using random-initialized weights")
             params = model_cls.init_params(self.spec, self.dtype, seed=config.seed)
         self.tp = config.tensor_parallel_size
+        self.dp = config.data_parallel_size
         if self.tp > 1:
             # shard_map TP: fused projection columns must be grouped per
             # shard (parallel/tp.py) BEFORE the mesh placement
@@ -179,9 +182,10 @@ class ModelRunner:
 
         kv_sharding = NamedSharding(self.mesh, kv_cache_spec())
         from byox_vllm_tpu.models.qwen3 import make_kv_cache
+        from byox_vllm_tpu.parallel.distributed import put_global
 
         self.kv_cache = jax.tree.map(
-            lambda x: jax.device_put(x, kv_sharding),
+            lambda x: put_global(x, kv_sharding),
             make_kv_cache(self.spec, self.num_slots, kv_dtype, tp=self.tp),
         )
         kv_bytes = sum(x.nbytes for lay in self.kv_cache for x in lay)
@@ -233,11 +237,16 @@ class ModelRunner:
             attention_backend=config.attention_backend,
             **tp_kwargs,
         )
-        if self.tp == 1:
+        if self.tp == 1 and self.dp == 1:
             self._step = jax.jit(step_impl, donate_argnums=(1,))
             self._decode = jax.jit(decode_impl, donate_argnums=(1,))
             self._spec_verify = jax.jit(verify_impl, donate_argnums=(1,))
         else:
+            # dp > 1 must also take the shard_map path: under shard_map each
+            # data shard scatters only ITS rows into ITS pool replica (the
+            # per-lane-pool semantics DataParallelScheduler assumes); plain
+            # jit/GSPMD would instead enforce one logical pool and lanes'
+            # overlapping slot ids would clobber each other.
             self._tp_cache: dict = {}
             from jax.sharding import PartitionSpec as P
 
@@ -282,11 +291,11 @@ class ModelRunner:
             def make_caller(kind, impl, specs_fn):
                 def call(*args):
                     key = (kind, tuple(a is None for a in args))
+                    ins, outs = specs_fn(args)
                     fn = self._tp_cache.get(key)
                     if fn is None:
                         from jax.experimental.shard_map import shard_map
 
-                        ins, outs = specs_fn(args)
                         try:
                             sm = shard_map(
                                 impl, mesh=self.mesh, in_specs=ins,
@@ -298,6 +307,28 @@ class ModelRunner:
                             )
                         fn = jax.jit(sm, donate_argnums=(1,))
                         self._tp_cache[key] = fn
+                    if jax.process_count() > 1:
+                        # multi-host: host-local batch arrays must become
+                        # global jax.Arrays laid out per the in_specs (every
+                        # host builds the identical full batch; each supplies
+                        # only its addressable shards). params/kv_cache are
+                        # already global.
+                        from jax.sharding import NamedSharding
+
+                        from byox_vllm_tpu.parallel.distributed import put_global
+
+                        def to_global(a, s):
+                            if a is None:
+                                return None
+                            if isinstance(a, tuple):
+                                return tuple(to_global(x, y) for x, y in zip(a, s))
+                            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                                return a
+                            return put_global(a, NamedSharding(self.mesh, s))
+
+                        args = args[:2] + tuple(
+                            to_global(a, s) for a, s in zip(args[2:], ins[2:])
+                        )
                     return fn(*args)
 
                 return call
@@ -312,6 +343,10 @@ class ModelRunner:
         # padded width is nearly free).
         dp = config.data_parallel_size
         self.seq_buckets = [b for b in _pow2_buckets(max(8, dp), max(8, config.max_num_seqs))]
+        # data-parallel row layout: each lane's group is padded to a common
+        # per-lane stride so shard_map's contiguous split lands lane L on
+        # data shard L
+        self.lane_buckets = _pow2_buckets(max(1, 8 // dp), max(1, -(-config.max_num_seqs // dp)))
         self.token_buckets = _pow2_buckets(16, config.max_model_len)
         max_table_width = math.ceil(config.max_model_len / self.block_size)
         self.table_buckets = [max(1, max_table_width)]
@@ -346,6 +381,18 @@ class ModelRunner:
         cap = self.config.max_num_seqs * math.ceil(self.config.max_model_len / self.block_size)
         return int(min(num_blocks, cap))
 
+    def _layout(self, seqs: list[Sequence], n: int):
+        """(padded_num_seqs, rows) for the batch layout: identity (rows None)
+        when dp == 1; contiguous per-lane groups otherwise. ``seqs`` must be
+        lane-ordered (DataParallelScheduler.schedule's contract)."""
+        if self.dp == 1:
+            return _next_bucket(n, self.seq_buckets), None
+        counts = [0] * self.dp
+        for s in seqs:
+            counts[s.dp_shard] += 1
+        stride = _next_bucket(max(max(counts), 1), self.lane_buckets)
+        return stride * self.dp, lane_rows(counts, stride)
+
     def run(self, seqs: list[Sequence], is_prefill: bool, lookahead: int = 1) -> list:
         """Execute one engine step. Prefill (or lookahead 1) returns one
         sampled token per sequence; decode with lookahead K returns a list of
@@ -357,13 +404,15 @@ class ModelRunner:
         else:
             batch = prepare_decode(seqs, self.block_size, lookahead)
         n = batch.num_seqs
+        num_rows, rows = self._layout(seqs, n)
         padded = pad_batch(
             batch,
-            num_seqs=_next_bucket(n, self.seq_buckets),
+            num_seqs=num_rows,
             num_tokens=_next_bucket(batch.token_ids.shape[1], self.token_buckets)
             if is_prefill
             else 1,
             table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
+            rows=rows,
         )
         self.rng, step_key = jax.random.split(self.rng)
         filters = None
@@ -374,8 +423,15 @@ class ModelRunner:
             seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
         if is_prefill:
             # block-DUS KV stores for both bf16 and int8 pools (the int8
-            # variant quantizes once then DUSes all three pools)
-            runs = _prefill_write_runs(seqs, padded.token_ids.shape[1], self.block_size)
+            # variant quantizes once then DUSes all three pools). Under DP
+            # the run arrays would need per-shard splitting (each lane's DUS
+            # must touch only its own pool replica), so dp > 1 takes the
+            # slot-scatter path (slot -1 padding rows no-op per shard).
+            runs = (
+                _prefill_write_runs(seqs, padded.token_ids.shape[1], self.block_size)
+                if self.dp == 1
+                else None
+            )
             tokens, self.kv_cache = self._step(
                 self.params,
                 self.kv_cache,
@@ -390,8 +446,11 @@ class ModelRunner:
                 runs,
                 seed_info,
             )
-            return np.asarray(tokens)[:n].tolist()
-        pending = self._dispatch_decode_padded(padded, n, lookahead, step_key, filters, seed_info)
+            out = self._host_fetch(tokens)
+            return (out[:n] if rows is None else out[rows]).tolist()
+        pending = self._dispatch_decode_padded(
+            padded, n, lookahead, step_key, filters, seed_info, rows=rows
+        )
         return self.fetch_decode(pending)
 
     def dispatch_decode(self, seqs: list[Sequence], lookahead: int, carry=None):
@@ -403,11 +462,13 @@ class ModelRunner:
         executing window n+1, hiding the dispatch round-trip entirely)."""
         batch = prepare_decode(seqs, self.block_size, lookahead)
         n = batch.num_seqs
+        num_rows, rows = self._layout(seqs, n)
         padded = pad_batch(
             batch,
-            num_seqs=_next_bucket(n, self.seq_buckets),
+            num_seqs=num_rows,
             num_tokens=1,
             table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
+            rows=rows,
         )
         self.rng, step_key = jax.random.split(self.rng)
         filters = None
@@ -416,13 +477,19 @@ class ModelRunner:
         seed_info = None
         if padded.seeds is not None:
             seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
-        first_tokens = jnp.asarray(padded.token_ids[:, 0]) if carry is None else carry[:, -1]
+        if carry is None:
+            first_tokens = jnp.asarray(padded.token_ids[:, 0])
+        elif getattr(carry, "is_fully_addressable", True):
+            first_tokens = carry[:, -1]
+        else:  # multi-host: eager slicing needs addressability; jit is SPMD
+            first_tokens = _take_last_column(carry)
         return self._dispatch_decode_padded(
-            padded, n, lookahead, step_key, filters, seed_info, first_tokens=first_tokens
+            padded, n, lookahead, step_key, filters, seed_info,
+            first_tokens=first_tokens, rows=rows,
         )
 
     def _dispatch_decode_padded(
-        self, padded, n, lookahead, step_key, filters, seed_info, first_tokens=None
+        self, padded, n, lookahead, step_key, filters, seed_info, first_tokens=None, rows=None
     ):
         if first_tokens is None:
             first_tokens = jnp.asarray(padded.token_ids[:, 0])
@@ -438,12 +505,25 @@ class ModelRunner:
             filters,
             seed_info,
         )
-        return PendingDecode(tokens=tokens, num_seqs=n, lookahead=lookahead)
+        return PendingDecode(tokens=tokens, num_seqs=n, lookahead=lookahead, rows=rows)
 
     def fetch_decode(self, pending: "PendingDecode") -> list:
         """Block on a dispatched decode window and return its token lists."""
-        out = np.asarray(pending.tokens)[: pending.num_seqs]  # [n, K]
+        full = self._host_fetch(pending.tokens)
+        out = full[: pending.num_seqs] if pending.rows is None else full[pending.rows]  # [n, K]
         return out[:, 0].tolist() if pending.lookahead == 1 else out.tolist()
+
+    @staticmethod
+    def _host_fetch(x) -> np.ndarray:
+        """Device array -> host numpy. In a multi-host deployment per-shard
+        outputs are not fully addressable from one process; allgather them so
+        every host sees the full batch (keeping every host's scheduler state
+        identical — the deterministic-lockstep contract)."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
     def run_spec(
         self, seqs: list[Sequence], drafts: list[list[int]], num_spec_tokens: int
@@ -455,7 +535,7 @@ class ModelRunner:
             seqs, drafts, self.block_size, num_spec_tokens
         )
         n = batch.num_seqs
-        bucket = _next_bucket(n, self.seq_buckets)
+        bucket, rows = self._layout(seqs, n)
         filters = None
         if batch.top_k is not None:
             filters = batch.top_k, batch.top_p
@@ -464,10 +544,13 @@ class ModelRunner:
             num_seqs=bucket,
             num_tokens=batch.token_ids.shape[1],
             table_width=_next_bucket(batch.block_tables.shape[1], self.table_buckets),
+            rows=rows,
         )
+        dst = np.arange(n) if rows is None else rows
+
         def pad_rows(arr, fill=0):
             out = np.full((bucket,) + arr.shape[1:], fill, dtype=arr.dtype)
-            out[:n] = arr
+            out[dst] = arr
             return out
 
         self.rng, step_key = jax.random.split(self.rng)
@@ -495,8 +578,8 @@ class ModelRunner:
             padded_filters,
             seed_info,
         )
-        tokens = np.asarray(tokens)[:n]
-        num_emitted = np.asarray(num_emitted)[:n]
+        tokens = self._host_fetch(tokens)[dst]
+        num_emitted = self._host_fetch(num_emitted)[dst]
         return [tokens[i, : num_emitted[i]].tolist() for i in range(n)], num_emitted - 1
 
 
@@ -546,6 +629,11 @@ def _model_step(
             logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps
         )
     return tokens, kv_cache
+
+
+@jax.jit
+def _take_last_column(x):
+    return x[:, -1]
 
 
 def _prefill_write_runs(seqs, padded_tq, block_size):

@@ -78,11 +78,19 @@ class Scheduler:
         return max(1, k)
 
     def schedule(self) -> tuple[list[Sequence], bool]:
+        scheduled = self._schedule_prefill()
+        if scheduled:
+            self.last_lookahead = 1
+            return scheduled, True
+        lookahead = self._pick_lookahead()
+        scheduled = self._schedule_decode(lookahead)
+        self.last_lookahead = lookahead
+        return scheduled, False
+
+    def _schedule_prefill(self) -> list[Sequence]:
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
-
-        # prefill pass
         max_chunk = 0
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
@@ -135,11 +143,11 @@ class Scheduler:
                 break  # chunked head consumed the budget; stays at the front
         if scheduled:
             logger.debug("scheduled %d seqs for prefill (%d tokens)", len(scheduled), num_batched_tokens)
-            self.last_lookahead = 1
-            return scheduled, True
+        return scheduled
 
-        # decode pass
-        lookahead = self._pick_lookahead()
+    def _schedule_decode(self, lookahead: int) -> list[Sequence]:
+        scheduled: list[Sequence] = []
+        num_seqs = 0
         stalled = False
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
@@ -171,8 +179,7 @@ class Scheduler:
         if scheduled:
             # restore original order at the front of the running queue
             self.running.extendleft(reversed(scheduled))
-        self.last_lookahead = lookahead
-        return scheduled, False
+        return scheduled
 
     def postprocess(
         self,
@@ -235,3 +242,96 @@ class Scheduler:
         seq.status = SequenceStatus.WAITING
         self.block_manager.deallocate(seq)
         self.waiting.appendleft(seq)
+
+
+class DataParallelScheduler:
+    """Data-parallel lane scheduler.
+
+    Each 'data' mesh shard runs its own prefill-priority Scheduler over its
+    OWN KV pool replica (under shard_map each data shard scatters only its
+    rows into its replica, so the replicas deliberately diverge — one pool's
+    worth of distinct KV per lane, which is exactly why DP multiplies KV
+    capacity). A request is pinned to a lane at admission (round-robin, so
+    the assignment is a pure function of arrival order — every host in a
+    multi-host deployment derives the identical assignment with no
+    control-plane traffic, replacing the reference's pickled-seqs broadcast,
+    nanovllm/engine/model_runner.py:42-100).
+
+    Lockstep contract (one SPMD program executes all lanes):
+      - if ANY lane can prefill, this step is a prefill step; lanes with no
+        prefill work contribute zero rows (their pool replicas are untouched
+        — padding rows have slot -1 / context 0)
+      - otherwise all lanes decode with a COMMON lookahead (the min over
+        lanes) so every lane runs the same compiled program shape.
+
+    The flat scheduled list is lane-ordered (lane 0's rows, then lane 1's,
+    ...); the runner pads each lane group to a common per-lane row count so
+    shard_map's contiguous row split lands each lane on its shard.
+    """
+
+    def __init__(self, config: Config, decode_lookahead: int = 1):
+        self.dp = config.data_parallel_size
+        self.lanes = [Scheduler(config, decode_lookahead) for _ in range(self.dp)]
+        self.last_lookahead = 1
+        self._next_lane = 0
+
+    # engine surface ------------------------------------------------------
+
+    @property
+    def waiting(self) -> list[Sequence]:
+        return [s for lane in self.lanes for s in lane.waiting]
+
+    @property
+    def running(self) -> list[Sequence]:
+        return [s for lane in self.lanes for s in lane.running]
+
+    @property
+    def block_manager(self):  # convenience for tests/tools (lane 0)
+        return self.lanes[0].block_manager
+
+    def is_finished(self) -> bool:
+        return all(lane.is_finished() for lane in self.lanes)
+
+    def add(self, seq: Sequence) -> None:
+        seq.dp_shard = self._next_lane
+        self.lanes[self._next_lane].add(seq)
+        self._next_lane = (self._next_lane + 1) % self.dp
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        prefill = [lane._schedule_prefill() for lane in self.lanes]
+        if any(prefill):
+            self.last_lookahead = 1
+            return [s for group in prefill for s in group], True
+        active = [lane for lane in self.lanes if lane.running]
+        if not active:
+            self.last_lookahead = 1
+            return [], False
+        lookahead = min(lane._pick_lookahead() for lane in active)
+        groups = [lane._schedule_decode(lookahead) for lane in self.lanes]
+        self.last_lookahead = lookahead
+        return [s for group in groups for s in group], False
+
+    def postprocess(
+        self,
+        seqs: list[Sequence],
+        token_ids: list,
+        is_prefill: bool = False,
+        defer_dealloc: set | None = None,
+    ) -> int:
+        appended = 0
+        for lane_id, lane in enumerate(self.lanes):
+            pairs = [(s, t) for s, t in zip(seqs, token_ids) if s.dp_shard == lane_id]
+            if pairs:
+                appended += lane.postprocess(
+                    [s for s, _ in pairs], [t for _, t in pairs], is_prefill, defer_dealloc
+                )
+        return appended
+
+    def release_deferred(self, seq: Sequence) -> None:
+        self.lanes[seq.dp_shard].release_deferred(seq)
+
+
+def make_scheduler(config: Config, decode_lookahead: int = 1):
+    if config.data_parallel_size > 1:
+        return DataParallelScheduler(config, decode_lookahead)
+    return Scheduler(config, decode_lookahead)

@@ -46,6 +46,10 @@ class Sequence:
     scheduled_chunk: int = field(default=0, init=False)
     block_table: list[int] = field(default_factory=list, init=False)
 
+    # data-parallel lane this request is pinned to (its KV lives only in
+    # that shard's pool replica, so it must never migrate)
+    dp_shard: int = field(default=0, init=False)
+
     # speculative decoding: draft tokens scheduled for verification this step
     num_draft_tokens: int = field(default=0, init=False)
     # async pipelined decode: tokens dispatched to the device but not yet

@@ -18,8 +18,15 @@ RPC that lock-steps worker processes (nanovllm/engine/model_runner.py:27,
   same pickled seqs.
 
 Single-chip hardware is all this environment exposes; the multi-host path is
-compile-validated via the 8-device CPU mesh (tests/test_sharding.py and
-__graft_entry__.dryrun_multichip).
+EXECUTED (not just compiled) by tests/test_multihost.py — two OS processes
+join one jax.distributed runtime over a (data=2, model=2) CPU mesh whose
+data axis spans the processes, run the full engine on the same request
+stream with zero inter-host messages, and must produce identical outputs
+equal to the single-process run. Request partitioning across the data axis
+is the DataParallelScheduler (engine/scheduler.py): round-robin lane pinning
+at admission — a pure function of arrival order, so every host derives it
+independently. Sharding-compile coverage additionally via the 8-device CPU
+mesh (tests/test_sharding.py, __graft_entry__.dryrun_multichip).
 """
 
 import os
@@ -53,3 +60,18 @@ def initialize_distributed(
 
 def is_primary_host() -> bool:
     return jax.process_index() == 0
+
+
+def put_global(x, sharding):
+    """Place a host-replicated value onto a (possibly multi-process) sharding.
+
+    Single process: plain device_put. Multi-process: every host passes the
+    SAME value (the deterministic-lockstep contract — each host's scheduler
+    derives identical batches), and the global array is assembled from each
+    host's addressable shards without any cross-host transfer."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])

@@ -99,8 +99,10 @@ def batch_specs() -> dict:
 
 
 def shard_params(params: dict, mesh) -> dict:
+    from byox_vllm_tpu.parallel.distributed import put_global
+
     specs = qwen3_param_specs(params, mesh)
     flat_p, treedef = jax.tree.flatten(params)
     flat_s, _ = jax.tree.flatten(specs, is_leaf=lambda x: isinstance(x, P))
-    placed = [jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(flat_p, flat_s)]
+    placed = [put_global(p, NamedSharding(mesh, s)) for p, s in zip(flat_p, flat_s)]
     return jax.tree.unflatten(treedef, placed)

@@ -126,3 +126,65 @@ def test_tp_engine_bf16_untied_head():
     tp = LLM(tensor_parallel_size=4, **common).generate(prompts, sp, use_tqdm=False)
     for a, b in zip(single, tp):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_dp_lanes_match_single_device():
+    """Pure DP (tp=1, dp=4): requests are pinned to lanes with their own KV
+    pool replica; staggered finishes change lane composition mid-run; greedy
+    output must match the single-device run row for row."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 256, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=32,
+        kvcache_block_size=16, seed=5,
+    )
+    # 6 prompts across 4 lanes; different max_tokens so lanes' running sets
+    # diverge and per-lane row groups shrink at different times
+    prompts = [[i + 1, i + 2, i + 3, i + 4] for i in range(6)]
+    sps = [
+        SamplingParams(temperature=0.0, max_tokens=4 + 3 * (i % 3), ignore_eos=True)
+        for i in range(6)
+    ]
+    single = LLM(**common).generate(prompts, sps, use_tqdm=False)
+    dp = LLM(data_parallel_size=4, **common).generate(prompts, sps, use_tqdm=False)
+    for a, b in zip(single, dp):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_dp_lane_pinning_and_capacity():
+    """Each lane owns a full block pool (DP multiplies KV capacity) and a
+    sequence never migrates lanes."""
+    from byox_vllm_tpu.config import Config
+    from byox_vllm_tpu.engine.scheduler import DataParallelScheduler
+    from byox_vllm_tpu.engine.sequence import Sequence
+
+    cfg = Config(
+        hf_config={"model_type": "qwen3", "max_position_embeddings": 4096},
+        max_model_len=64, max_num_batched_tokens=256,
+        num_kvcache_blocks=8, kvcache_block_size=16, data_parallel_size=2,
+    )
+    sched = DataParallelScheduler(cfg, decode_lookahead=1)
+    seqs = [Sequence(list(range(1, 20)), 16) for _ in range(4)]
+    for s in seqs:
+        sched.add(s)
+    assert [s.dp_shard for s in seqs] == [0, 1, 0, 1]
+    batch, is_prefill = sched.schedule()
+    assert is_prefill
+    # lane-ordered flat list: lane 0's seqs first
+    assert [s.dp_shard for s in batch] == sorted(s.dp_shard for s in batch)
+    # both lanes allocated from their OWN pool: block ids overlap across lanes
+    lane0 = [s for s in batch if s.dp_shard == 0]
+    lane1 = [s for s in batch if s.dp_shard == 1]
+    assert lane0 and lane1
+    assert lane0[0].block_table == lane1[0].block_table  # same ids, different replicas
+    sched.postprocess(batch, [[1]] * len(batch), is_prefill=True)
+    dec, is_prefill = sched.schedule()
+    assert not is_prefill and len(dec) == 4
