@@ -11,13 +11,20 @@ from byox_vllm_tpu.models.qwen3 import Qwen3Spec
 
 
 class _DecoderFamily:
-    """Binding of the shared functional decoder to one HF model_type."""
+    """Binding of the shared functional decoder to one HF model_type.
 
-    def __init__(self, qk_norm: bool):
+    ``attention_bias``: None reads the HF config attribute; Qwen2 must force
+    True because its qkv bias is unconditional in the HF architecture and
+    Qwen2Config carries no attention_bias attribute."""
+
+    def __init__(self, qk_norm: bool, attention_bias: bool | None = None):
         self._qk_norm = qk_norm
+        self._attention_bias = attention_bias
 
     def spec_from_hf(self, hf) -> Qwen3Spec:
-        return Qwen3Spec.from_hf_config(hf, qk_norm=self._qk_norm)
+        return Qwen3Spec.from_hf_config(
+            hf, qk_norm=self._qk_norm, attention_bias=self._attention_bias
+        )
 
     forward = staticmethod(_qwen3.forward)
     init_params = staticmethod(_qwen3.init_params)
@@ -31,9 +38,9 @@ class _DecoderFamily:
 
 _REGISTRY = {
     "qwen3": _DecoderFamily(qk_norm=True),
-    "qwen2": _DecoderFamily(qk_norm=False),
+    "qwen2": _DecoderFamily(qk_norm=False, attention_bias=True),
     "llama": _DecoderFamily(qk_norm=False),
-    "mistral": _DecoderFamily(qk_norm=False),
+    "mistral": _DecoderFamily(qk_norm=False, attention_bias=False),
 }
 
 

@@ -117,9 +117,14 @@ class Qwen3Spec:
     head_bits: int | None = None
 
     @classmethod
-    def from_hf_config(cls, hf, qk_norm: bool = True) -> "Qwen3Spec":
+    def from_hf_config(cls, hf, qk_norm: bool = True, attention_bias: bool | None = None) -> "Qwen3Spec":
+        """``attention_bias=None`` reads the HF config attribute (Qwen3/Llama
+        expose it); Qwen2's qkv bias is unconditional in the HF architecture
+        and its config has NO such attribute, so that family passes True."""
         get = lambda name, default=None: getattr(hf, name, default)
         num_heads = hf.num_attention_heads
+        if attention_bias is None:
+            attention_bias = get("attention_bias", False)
         return cls(
             vocab_size=hf.vocab_size,
             hidden_size=hf.hidden_size,
@@ -131,7 +136,7 @@ class Qwen3Spec:
             rms_norm_eps=get("rms_norm_eps", 1e-6),
             rope_theta=get("rope_theta", 1000000.0),
             tie_word_embeddings=get("tie_word_embeddings", False),
-            attention_bias=get("attention_bias", False),
+            attention_bias=attention_bias,
             qk_norm=qk_norm,
             max_position_embeddings=get("max_position_embeddings", 40960),
         )
