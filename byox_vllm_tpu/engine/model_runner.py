@@ -54,7 +54,42 @@ from byox_vllm_tpu.utils.logging import logger
 # Decode batch buckets — same role as the reference's CUDA-graph capture sizes
 # (model_runner.py:269). Compilation happens lazily per bucket and is cached.
 _DEFAULT_HBM_BYTES = 16 * 1024**3  # TPU v5e
-_ACTIVATION_HEADROOM = 1 * 1024**3
+
+
+def estimate_activation_bytes(spec, config) -> int:
+    """Peak transient-activation estimate at the LARGEST compiled shapes,
+    used to reserve headroom when sizing the KV pool (the reference instead
+    warmup-probes CUDA memory at max shapes, model_runner.py:102-136; XLA's
+    equivalent measurement is tools/measure_headroom.py, which cross-checks
+    this formula via compiled memory_analysis()).
+
+    Terms (generous constants — XLA fuses most elementwise chains away):
+      - prefill stream at [tokens = padded token budget]: residual + norm +
+        attention I/O buffers (~8x tokens*hidden bf16)
+      - MLP intermediate (~3x tokens*inter bf16: gate_up halves + product)
+      - QKV projections (~3x tokens*(q+2kv) bf16)
+      - dense-attention fallback only: the materialized [heads, Tq, Tk] score
+        matrix (the Pallas path tiles it away)
+      - sampling: fp32 logits [B, V] x2 (+1 sort copy with top-k/p)
+      - spec verify: all-position fp32 logits [B, K+1, V] x2
+    """
+    # padded prefill token cap: the scheduler's padded admission keeps
+    # B_bucket x chunk_bucket <= max_num_batched_tokens for serving-scale
+    # budgets (engine/scheduler.py); tiny test budgets floor at one bucket
+    tokens = max(config.max_num_batched_tokens, 8 * 16)
+    h, inter = spec.hidden_size, spec.intermediate_size
+    qkv = spec.q_size + 2 * spec.kv_size
+    act = 2 * tokens * (8 * h + 3 * inter + 3 * qkv)
+    if config.attention_backend == "dense":
+        tq = min(tokens, config.max_model_len)
+        act += 4 * spec.num_heads * tq * config.max_model_len
+    b = max(8, config.max_num_seqs)
+    logit_copies = 3  # logits + gumbel/argmax temp + top-k/p sort copy
+    act += 4 * b * spec.vocab_size * logit_copies
+    sc = config.speculative_config
+    if sc is not None and getattr(sc, "num_speculative_tokens", None):
+        act += 2 * 4 * b * (sc.num_speculative_tokens + 1) * spec.vocab_size
+    return int(act * 1.25) + 256 * 1024**2
 
 
 def _next_bucket(n: int, buckets: list[int]) -> int:
@@ -375,7 +410,12 @@ class ModelRunner:
         else:
             per_token_bytes = 2 * nkv_tp * self.spec.head_dim * self.dtype.itemsize
         kv_bytes_per_token = self.spec.num_layers * per_token_bytes
-        budget = int(limit * self.config.gpu_memory_utilization) - weights // tp - _ACTIVATION_HEADROOM
+        headroom = estimate_activation_bytes(self.spec, self.config)
+        budget = int(limit * self.config.gpu_memory_utilization) - weights // tp - headroom
+        logger.info(
+            "HBM budget: limit %.2f GiB, weights %.2f GiB, activation headroom %.2f GiB",
+            limit / 1024**3, weights / tp / 1024**3, headroom / 1024**3,
+        )
         num_blocks = max(16, budget // (kv_bytes_per_token * self.block_size))
         # don't allocate more capacity than max_num_seqs full-length seqs need
         cap = self.config.max_num_seqs * math.ceil(self.config.max_model_len / self.block_size)

@@ -24,6 +24,8 @@ With a real checkpoint (pass --ckpt later rounds), the absolute ppl-ratio
 gate (< 1.105 ~ +0.1 ppl at ppl 10) applies to every mode directly.
 
 Usage: BYOX_CPU=1 python tools/quality_gate.py [--model 0.6b|8b] [--seqs 4] [--len 128]
+       ... [--ckpt /path/to/hf_dir]   # real checkpoint: absolute gate applies
+       ... [--out QUALITY.json]       # per-round artifact for the judge
 """
 
 import argparse
@@ -46,9 +48,11 @@ if os.environ.get("BYOX_CPU"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="0.6b")
+    ap.add_argument("--ckpt", default=None, help="real HF checkpoint dir; enables the absolute ppl gate")
     ap.add_argument("--seqs", type=int, default=4)
     ap.add_argument("--len", dest="seq_len", type=int, default=128)
     ap.add_argument("--modes", nargs="*", default=["int8", "int4", "w4a8"])
+    ap.add_argument("--out", default=None, help="write the results as a JSON artifact")
     args = ap.parse_args()
 
     import jax
@@ -61,8 +65,17 @@ def main():
     from transformers import PretrainedConfig
     from dataclasses import replace
 
-    hf = PretrainedConfig(**(QWEN3_8B if args.model == "8b" else QWEN3_0_6B))
-    spec = Qwen3Spec.from_hf_config(hf, qk_norm=True)
+    if args.ckpt:
+        from transformers import AutoConfig
+
+        from byox_vllm_tpu.models import get_model
+
+        hf = AutoConfig.from_pretrained(args.ckpt)
+        family = get_model(getattr(hf, "model_type", "qwen3"))
+        spec = family.spec_from_hf(hf)
+    else:
+        hf = PretrainedConfig(**(QWEN3_8B if args.model == "8b" else QWEN3_0_6B))
+        spec = Qwen3Spec.from_hf_config(hf, qk_norm=True)
     B, T, BS = args.seqs, args.seq_len, 64
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, min(spec.vocab_size, 30000), (B, T)), jnp.int32)
@@ -83,7 +96,10 @@ def main():
         )
         return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
-    base_params = init_params(spec, jnp.bfloat16, seed=0)
+    if args.ckpt:
+        base_params = family.load_params(args.ckpt, spec, jnp.bfloat16)
+    else:
+        base_params = init_params(spec, jnp.bfloat16, seed=0)
     base_lp = jax.device_get(base_params)  # host copy: quantize the SAME weights
     ref = np.asarray(logits_for(spec, base_params))  # [B, T, V] logprobs
     ref_top = ref.argmax(-1)
@@ -120,11 +136,23 @@ def main():
         checks["a8_free_over_int4"] = (
             results["w4a8"]["mean_kl_nats"] <= results["int4"]["mean_kl_nats"] * 1.05 + 1e-4
         )
-    print(json.dumps({
+    if args.ckpt:
+        # trained weights: the north star's absolute gate (ppl within 0.1,
+        # i.e. ratio < ~1.105 at ppl 10) applies to EVERY mode directly
+        for mode, r in results.items():
+            checks[f"{mode}_ppl_within_0.1"] = r["ppl_ratio_bound"] < 1.105
+    verdict = {
         "quality_gate": "PASS" if all(checks.values()) else "FAIL",
+        "weights": args.ckpt or f"random-init {args.model}",
         "checks": checks,
-        "note": "random-weight absolute int4 numbers are pessimistic; see docstring",
-    }))
+        "results": results,
+        "note": None if args.ckpt else
+        "random-weight absolute int4 numbers are pessimistic; see docstring",
+    }
+    print(json.dumps({k: v for k, v in verdict.items() if k != "results"}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(verdict, f, indent=1)
 
 
 if __name__ == "__main__":
