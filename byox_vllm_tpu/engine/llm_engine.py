@@ -74,6 +74,14 @@ class LLMEngine:
         # async pipelined decode state: the window currently in flight —
         # (PendingDecode, seqs list, zombie seqs awaiting deferred dealloc)
         self._pending = None
+        # interpreter-exit backstop, like the reference's atexit registration
+        # (llm_engine.py:36): drop device state so a crashed caller doesn't
+        # pin HBM until process teardown races the backend's own shutdown
+        import atexit
+        import weakref
+
+        self._exited = False
+        atexit.register(lambda ref=weakref.ref(self): ref() and ref().exit())
 
     # -- request lifecycle ------------------------------------------------
 
@@ -229,9 +237,15 @@ class LLMEngine:
     # -- batch API --------------------------------------------------------
 
     def exit(self) -> None:
-        """Release device state (KV pool, params). The reference needs an
-        atexit + RPC shutdown dance across worker processes
-        (llm_engine.py:36,78-82); here dropping the references suffices."""
+        """Release device state (KV pool, params). Idempotent; also runs at
+        interpreter exit via atexit. The reference needs an atexit + RPC
+        shutdown dance across worker processes (llm_engine.py:36,78-82);
+        in SPMD dropping the references suffices — there are no worker
+        processes to join and no collectives to unwedge."""
+        if self._exited:
+            return
+        self._exited = True
+        self._pending = None
         self.model_runner.kv_cache = None
         self.model_runner.params = None
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from byox_vllm_tpu.ops.kv_cache import gather_kv, gather_kv_quant
 
 _NEG_INF = -1e9
+_WARNED_HEAD_DIM = False
 
 
 def paged_attention(
@@ -45,7 +46,18 @@ def paged_attention(
     use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
     # both Pallas kernels assume head_dim == one 128-wide lane register;
     # other head dims (64/80/96) Mosaic-fail today -> dense fallback
-    use_pallas = use_pallas and q.shape[-1] == 128
+    if use_pallas and q.shape[-1] != 128:
+        use_pallas = False
+        global _WARNED_HEAD_DIM
+        if on_tpu and not _WARNED_HEAD_DIM:
+            _WARNED_HEAD_DIM = True
+            from byox_vllm_tpu.utils.logging import logger
+
+            logger.warning(
+                "head_dim %d != 128: Pallas attention kernels unavailable, using the "
+                "dense fallback (materializes gathered K/V in HBM — expect a large "
+                "decode perf cliff at scale)", q.shape[-1],
+            )
     if tq == 1 and use_pallas:
         # v3 (chunked manual-DMA, SB sequences per grid step) is the default:
         # v2's per-sequence grid steps left ~0.8 us/seq of fixed cost (the

@@ -117,8 +117,51 @@ def sample_tokens_tp(
     return jnp.take_along_axis(toks, best[None, :], axis=0)[0].astype(jnp.int32)
 
 
-def _filter_top_k_top_p(logits, top_k, top_p):
-    """Mask logits outside the per-row top-k / nucleus to -inf."""
+def _filter_top_k_top_p(logits, top_k, top_p, k_cap: int = 2048):
+    """Mask logits outside the per-row top-k / nucleus to -inf.
+
+    A full-vocab row sort every decode step is brutal on TPU (V = 151936 for
+    Qwen; sorts don't tile onto the MXU). The serving-shaped path instead
+    takes the top ``k_cap`` candidates with lax.top_k (one O(V) pass), does
+    the cutoff arithmetic on that slice, and the whole batch falls back to
+    the exact full-sort path only if some row's request is not contained in
+    the slice (top_k > k_cap, or nucleus mass of the slice < top_p — which
+    for a trained model's logits essentially never happens: the top-2048
+    tokens carry ~all probability mass)."""
+    v = logits.shape[-1]
+    if v <= 2 * k_cap:  # small vocabs (tests/draft models): sort is cheap
+        return _filter_sorted(logits, top_k, top_p)
+    neg = -jnp.inf
+    vals = jax.lax.top_k(logits, k_cap)[0]  # [B, k_cap] descending
+    exact = jnp.ones(logits.shape[0], bool)
+    thresh = jnp.full(logits.shape[:1], neg, logits.dtype)
+    if top_k is not None:
+        on = top_k > 0
+        kth = jnp.take_along_axis(
+            vals, jnp.clip(top_k - 1, 0, k_cap - 1)[:, None], axis=-1
+        )[:, 0]
+        thresh = jnp.maximum(thresh, jnp.where(on, kth, neg))
+        exact &= ~on | (top_k <= k_cap)
+    if top_p is not None:
+        on = top_p < 1.0
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        p = jnp.exp(vals - lse)  # true probabilities of the slice
+        cum = jnp.cumsum(p, axis=-1)
+        # smallest set of top tokens with cumulative prob >= top_p
+        keep = cum - p < top_p[:, None]
+        pth = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1)
+        thresh = jnp.maximum(thresh, jnp.where(on, pth, neg))
+        exact &= ~on | (cum[:, -1] >= top_p)
+    fast = jnp.where(logits >= thresh[:, None], logits, neg)
+    return jax.lax.cond(
+        jnp.all(exact),
+        lambda: fast,
+        lambda: _filter_sorted(logits, top_k, top_p),
+    )
+
+
+def _filter_sorted(logits, top_k, top_p):
+    """Exact full-sort filter (reference semantics; fallback path)."""
     v = logits.shape[-1]
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
     if top_k is not None:
@@ -130,7 +173,10 @@ def _filter_top_k_top_p(logits, top_k, top_p):
         cum = jnp.cumsum(probs, axis=-1)
         # keep the smallest set of top tokens with cumulative prob >= top_p
         keep_sorted = cum - probs < top_p[:, None]
-        # threshold = smallest kept logit
+        # threshold = smallest kept logit; top_p >= 1 disables (cumsum float
+        # saturation would otherwise clip the unreachable tail — and 1.0 is
+        # the padding-row value)
         thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        thresh = jnp.where(top_p[:, None] >= 1.0, -jnp.inf, thresh)
         logits = jnp.where(logits >= thresh, logits, -jnp.inf)
     return logits

@@ -160,3 +160,37 @@ def test_per_request_seed_reproducible(tmp_path):
     # different seed -> (almost surely) different tokens
     other = make().generate([prompt], SamplingParams(temperature=1.0, seed=7, max_tokens=10), use_tqdm=False)
     assert other[0]["token_ids"] != solo
+
+
+def test_topk_topp_fast_path_matches_full_sort():
+    """The lax.top_k candidate-slice filter must equal the exact full-sort
+    filter on a serving-size vocab — both the pure top-k, pure top-p, and
+    combined cases — and fall back when a row's request exceeds the slice."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from byox_vllm_tpu.ops.sampler import _filter_sorted, _filter_top_k_top_p
+
+    rng = np.random.default_rng(0)
+    v = 8192  # > 2 * k_cap below so the fast path engages
+    logits = jnp.asarray(rng.normal(scale=4.0, size=(5, v)).astype(np.float32))
+    top_k = jnp.asarray([0, 7, 1, 0, 300], jnp.int32)
+    top_p = jnp.asarray([1.0, 1.0, 0.9, 0.35, 0.8], jnp.float32)
+
+    fast = _filter_top_k_top_p(logits, top_k, top_p, k_cap=512)
+    exact = _filter_sorted(logits, top_k, top_p)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
+
+    # top_k beyond the cap on one row -> whole batch takes the exact branch
+    fb = _filter_top_k_top_p(logits, top_k.at[1].set(600), top_p, k_cap=512)
+    ex = _filter_sorted(logits, np.asarray(top_k.at[1].set(600)), top_p)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(ex))
+
+    # near-uniform logits with high top_p: slice mass < top_p -> fallback
+    flat = jnp.zeros((2, v), jnp.float32) + jnp.asarray(rng.normal(scale=1e-3, size=(2, v)).astype(np.float32))
+    tk = jnp.asarray([0, 0], jnp.int32)
+    tp = jnp.asarray([0.99, 0.5], jnp.float32)
+    fb2 = _filter_top_k_top_p(flat, tk, tp, k_cap=512)
+    ex2 = _filter_sorted(flat, tk, tp)
+    np.testing.assert_array_equal(np.asarray(fb2), np.asarray(ex2))
