@@ -119,7 +119,7 @@ class SpeculativeConfig:
     """Speculative decoding config (reference: nanovllm/config.py:30-49 — there
     declared but never consumed; here it is wired into the engine)."""
 
-    method: str | None = None  # "ngram" | "draft_model" (Eagle/Medusa-class)
+    method: str | None = None  # "ngram" | "draft_model" | "eagle"
     num_speculative_tokens: int | None = None
     prompt_lookup_max: int | None = None
     prompt_lookup_min: int | None = 1
@@ -128,6 +128,12 @@ class SpeculativeConfig:
     model: str | None = None
     draft_hf_config: dict | None = None
     draft_quantization: str | None = None  # None | "int8" | "int4"
+    # eagle method: drafter trunk depth (EAGLE standard: 1); ``draft_params``
+    # injects a pre-built drafter pytree (tests / offline-converted packs) —
+    # without it the drafter is random-initialized (mechanism exercise only;
+    # real acceptance needs a trained drafter)
+    draft_num_layers: int = 1
+    draft_params: Any = None
 
     def __post_init__(self):
         if self.method == "ngram":
@@ -139,6 +145,9 @@ class SpeculativeConfig:
         elif self.method == "draft_model":
             assert self.num_speculative_tokens is not None and self.num_speculative_tokens >= 1
             assert self.model or self.draft_hf_config, "draft_model needs a drafter checkpoint"
+        elif self.method == "eagle":
+            assert self.num_speculative_tokens is not None and self.num_speculative_tokens >= 1
+            assert self.draft_num_layers >= 1
 
 
 def config_from_kwargs(model: str = "", **kwargs) -> Config:

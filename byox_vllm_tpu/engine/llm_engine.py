@@ -54,6 +54,7 @@ class LLMEngine:
         if sc is not None and sc.method is not None:
             from byox_vllm_tpu.engine.spec import (
                 DraftModelProposer,
+                EagleProposer,
                 NgramProposer,
                 SpecMetrics,
             )
@@ -64,6 +65,8 @@ class LLMEngine:
                 )
             elif sc.method == "draft_model":
                 self.proposer = DraftModelProposer(sc, config)
+            elif sc.method == "eagle":
+                self.proposer = EagleProposer(sc, config, self.model_runner)
             else:
                 raise AssertionError(f"unsupported speculative method {sc.method!r}")
             self.spec_metrics = SpecMetrics()
@@ -164,11 +167,17 @@ class LLMEngine:
             )
             for d, a in zip(drafts, accepted):
                 self.spec_metrics.record(len(d), min(int(a), len(d)))
+            if getattr(self.proposer, "wants_hidden", False):
+                # eagle: harvest the verify step's target features
+                self.proposer.observe_verify(seqs, token_ids, self.model_runner.last_hidden)
         else:
             token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
             if is_prefill and self.proposer is not None and hasattr(self.proposer, "observe_prefill"):
-                # the drafter mirrors the prompt so its KV stays in lockstep
-                self.proposer.observe_prefill(seqs)
+                if getattr(self.proposer, "wants_hidden", False):
+                    self.proposer.observe_prefill(seqs, self.model_runner.last_hidden)
+                else:
+                    # the drafter mirrors the prompt so its KV stays in lockstep
+                    self.proposer.observe_prefill(seqs)
         appended = self.scheduler.postprocess(seqs, token_ids, is_prefill)
         now = time.perf_counter()
         for seq in seqs:

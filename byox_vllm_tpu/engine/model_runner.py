@@ -246,12 +246,22 @@ class ModelRunner:
         else:
             run_model_spec = self.spec
             tp_kwargs = {}
+        # Eagle feature-level drafting: the target's post-final-norm hidden
+        # states ride along as an extra program output for the drafter
+        sc = config.speculative_config
+        self.capture_hidden = bool(sc is not None and getattr(sc, "method", None) == "eagle")
+        self.last_hidden = None  # (hidden [Bpad, T, D] device, row of each seq)
+        if self.capture_hidden:
+            assert self.tp == 1 and self.dp == 1, (
+                "eagle speculative decoding currently requires tp == dp == 1"
+            )
         step_impl = partial(
             _model_step,
             forward_fn=self.forward_fn,
             spec=run_model_spec,
             block_size=self.block_size,
             attention_backend=config.attention_backend,
+            capture_hidden=self.capture_hidden,
             **tp_kwargs,
         )
         decode_impl = partial(
@@ -270,6 +280,7 @@ class ModelRunner:
             spec=run_model_spec,
             block_size=self.block_size,
             attention_backend=config.attention_backend,
+            capture_hidden=self.capture_hidden,
             **tp_kwargs,
         )
         if self.tp == 1 and self.dp == 1:
@@ -472,7 +483,7 @@ class ModelRunner:
                 if self.dp == 1
                 else None
             )
-            tokens, self.kv_cache = self._step(
+            step_out = self._step(
                 self.params,
                 self.kv_cache,
                 jnp.asarray(padded.token_ids),
@@ -486,6 +497,11 @@ class ModelRunner:
                 runs,
                 seed_info,
             )
+            if self.capture_hidden:
+                tokens, self.kv_cache, hidden = step_out
+                self.last_hidden = (hidden, np.arange(n) if rows is None else rows)
+            else:
+                tokens, self.kv_cache = step_out
             out = self._host_fetch(tokens)
             return (out[:n] if rows is None else out[rows]).tolist()
         pending = self._dispatch_decode_padded(
@@ -603,7 +619,7 @@ class ModelRunner:
         seed_info = None
         if padded.seeds is not None:
             seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
-        tokens, num_emitted, self.kv_cache = self._spec_verify(
+        verify_out = self._spec_verify(
             self.params,
             self.kv_cache,
             jnp.asarray(padded.token_ids),
@@ -618,6 +634,11 @@ class ModelRunner:
             padded_filters,
             seed_info,
         )
+        if self.capture_hidden:
+            tokens, num_emitted, self.kv_cache, hidden = verify_out
+            self.last_hidden = (hidden, dst)
+        else:
+            tokens, num_emitted, self.kv_cache = verify_out
         tokens = self._host_fetch(tokens)[dst]
         num_emitted = self._host_fetch(num_emitted)[dst]
         return [tokens[i, : num_emitted[i]].tolist() for i in range(n)], num_emitted - 1
@@ -643,18 +664,21 @@ def _model_step(
     attention_backend="auto",
     tp_axis=None,
     global_vocab=0,
+    capture_hidden=False,
 ):
     from functools import partial as _partial
 
     from byox_vllm_tpu.ops.attention import paged_attention
 
-    logits, kv_cache = forward_fn(
+    out, kv_cache = forward_fn(
         params, kv_cache, token_ids, q_lens, context_lens, slot_mapping, block_tables,
         spec, block_size,
         attention_fn=_partial(paged_attention, backend=attention_backend),
         write_runs=write_runs,
         tp_axis=tp_axis,
+        capture_hidden=capture_hidden,
     )
+    logits, hidden = out if capture_hidden else (out, None)
     top_k, top_p = filters if filters is not None else (None, None)
     seeds, steps = seed_info if seed_info is not None else (None, None)
     if tp_axis is not None:
@@ -668,6 +692,8 @@ def _model_step(
         tokens = sample_tokens(
             logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps
         )
+    if capture_hidden:
+        return tokens, kv_cache, hidden
     return tokens, kv_cache
 
 
@@ -840,26 +866,32 @@ def _spec_verify_step(
     attention_backend="auto",
     tp_axis=None,
     global_vocab=0,
+    capture_hidden=False,
 ):
     """Speculative verify: one forward over the draft window scoring every
     position, then vectorized rejection sampling (ops/spec_sampler.py).
-    Returns (tokens [B, K+1], num_emitted [B], kv_cache)."""
+    Returns (tokens [B, K+1], num_emitted [B], kv_cache[, hidden [B, T, D]
+    when capture_hidden — the Eagle drafter consumes the target's features])."""
     from functools import partial as _partial
 
     from byox_vllm_tpu.ops.attention import paged_attention
     from byox_vllm_tpu.ops.spec_sampler import verify_and_sample
 
-    logits, kv_cache = forward_fn(
+    out, kv_cache = forward_fn(
         params, kv_cache, token_ids, q_lens, context_lens, slot_mapping, block_tables,
         spec, block_size,
         attention_fn=_partial(paged_attention, backend=attention_backend),
         all_logits=True,
         tp_axis=tp_axis,
+        capture_hidden=capture_hidden,
     )
+    logits, hidden = out if capture_hidden else (out, None)
     top_k, top_p = filters if filters is not None else (None, None)
     seeds, steps = seed_info if seed_info is not None else (None, None)
     tokens, num_emitted = verify_and_sample(
         logits, draft_tokens, num_drafts, temperatures, key,
         top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
     )
+    if capture_hidden:
+        return tokens, num_emitted, kv_cache, hidden
     return tokens, num_emitted, kv_cache

@@ -93,6 +93,159 @@ class SpecMetrics:
         }
 
 
+class EagleProposer:
+    """EAGLE feature-level drafting (models/eagle.py): the drafter consumes
+    the TARGET's post-final-norm hidden states, so the engine's target runner
+    is built with ``capture_hidden`` and this proposer harvests features from
+    every prefill and verify step.
+
+    State per live sequence: ``_done[sid]`` — drafter KV ingested through
+    slot done-1 — and ``_feats[sid]`` — target features by position (f_p for
+    the prefix ending at token p). Ingest of slot p pairs e(x_p) with
+    f_{p-1}; positions whose features were never computed (prefix-cache hits,
+    pre-preemption history) fall back to zeros — the rejection sampler keeps
+    outputs exact regardless, only acceptance suffers.
+    """
+
+    wants_hidden = True
+
+    def __init__(self, spec_config, target_config, target_runner):
+        import jax
+        import jax.numpy as jnp
+
+        from byox_vllm_tpu.models.eagle import draft_spec, eagle_step, init_eagle_params
+        from byox_vllm_tpu.models.qwen3 import make_kv_cache
+
+        self.k = spec_config.num_speculative_tokens
+        self.target = target_runner
+        self.spec = draft_spec(target_runner.spec, spec_config.draft_num_layers)
+        dtype = jnp.dtype(target_config.dtype)
+        if spec_config.draft_params is not None:  # injected (tests)
+            self.params = spec_config.draft_params
+        else:
+            self.params = init_eagle_params(
+                target_runner.params, target_runner.spec,
+                spec_config.draft_num_layers, dtype, seed=target_config.seed,
+            )
+        self.kv = make_kv_cache(self.spec, target_runner.num_slots, dtype)
+        from functools import partial
+
+        self._step = jax.jit(
+            partial(
+                eagle_step, spec=self.spec, block_size=target_runner.block_size,
+                attention_backend=target_config.attention_backend,
+            ),
+            donate_argnums=(1,),
+        )
+        self._jnp = jnp
+        self._done: dict[int, int] = {}
+        self._feats: dict[int, dict[int, np.ndarray]] = {}
+        self._hidden_dim = target_runner.spec.hidden_size
+
+    # -- feature harvesting -------------------------------------------------
+
+    def _record(self, seq_id: int, start_pos: int, rows: np.ndarray) -> None:
+        store = self._feats.setdefault(seq_id, {})
+        for j in range(rows.shape[0]):
+            store[start_pos + j] = rows[j]
+
+    def observe_prefill(self, seqs, hidden_pack) -> None:
+        hidden, rows = hidden_pack
+        h = np.asarray(hidden, dtype=np.float32)
+        for i, s in enumerate(seqs):
+            chunk = s.scheduled_chunk or s.num_pending_prefill_tokens
+            start = s.num_computed_tokens
+            self._record(s.seq_id, start, h[rows[i], :chunk])
+
+    def observe_verify(self, seqs, emitted_lists, hidden_pack) -> None:
+        hidden, rows = hidden_pack
+        h = np.asarray(hidden, dtype=np.float32)
+        for i, s in enumerate(seqs):
+            e = len(emitted_lists[i])  # accepted + 1 final sample
+            self._record(s.seq_id, len(s) - 1, h[rows[i], :e])
+
+    def forget(self, seq_id: int) -> None:
+        self._done.pop(seq_id, None)
+        self._feats.pop(seq_id, None)
+
+    def _feat(self, seq_id: int, pos: int) -> np.ndarray:
+        if pos < 0:
+            return np.zeros(self._hidden_dim, np.float32)
+        f = self._feats.get(seq_id, {}).get(pos)
+        return f if f is not None else np.zeros(self._hidden_dim, np.float32)
+
+    # -- drafting -------------------------------------------------------------
+
+    def propose_all(self, seqs, max_draft: int) -> list[list[int]]:
+        from byox_vllm_tpu.engine.model_runner import _next_bucket
+
+        jnp = self._jnp
+        r = self.target
+        k = min(self.k, max_draft) if max_draft else self.k
+        if k < 1:
+            return [[] for _ in seqs]
+        n = len(seqs)
+        bs = r.block_size
+        dones = []
+        for s in seqs:
+            d = self._done.get(s.seq_id, 0)
+            if d > len(s) or d < 1:
+                d = 0  # preempted/unknown: re-ingest everything
+            dones.append(d)
+
+        # --- ingest slots d..len-1 + first draft ---------------------------
+        q_lens = np.array([len(s) - d for s, d in zip(seqs, dones)], dtype=np.int32)
+        tq = int(q_lens.max())
+        npad = _next_bucket(n, r.seq_buckets)
+        tqpad = _next_bucket(tq, r.token_buckets)
+        wpad = _next_bucket(max(1, max(len(s.block_table) for s in seqs)), r.table_buckets)
+        token_ids = np.zeros((npad, tqpad), dtype=np.int32)
+        feats = np.zeros((npad, tqpad, self._hidden_dim), dtype=np.float32)
+        slot_mapping = np.full((npad, tqpad), -1, dtype=np.int32)
+        tables = np.full((npad, wpad), -1, np.int32)
+        ctx = np.zeros(npad, dtype=np.int32)
+        qpad = np.zeros(npad, dtype=np.int32)
+        for i, (s, d) in enumerate(zip(seqs, dones)):
+            toks = s.token_ids
+            span = len(s) - d
+            token_ids[i, :span] = toks[d:]
+            for j in range(span):
+                feats[i, j] = self._feat(s.seq_id, d + j - 1)
+            pos = np.arange(d, len(s))
+            blocks = np.asarray(s.block_table, dtype=np.int64)
+            slot_mapping[i, :span] = blocks[pos // bs] * bs + pos % bs
+            tables[i, : len(s.block_table)] = s.block_table
+            ctx[i] = len(s)
+            qpad[i] = span
+        tok, feat, self.kv = self._step(
+            self.params, self.kv,
+            jnp.asarray(token_ids), jnp.asarray(feats), jnp.asarray(qpad),
+            jnp.asarray(ctx), jnp.asarray(slot_mapping), jnp.asarray(tables),
+        )
+        for s in seqs:
+            self._done[s.seq_id] = len(s)
+        drafts = [np.asarray(tok)[:n].copy()]
+
+        # --- K-1 autoregressive draft steps --------------------------------
+        for j in range(1, k):
+            slots = np.full((npad, 1), -1, dtype=np.int32)
+            for i, s in enumerate(seqs):
+                p = len(s) - 1 + j
+                blocks = np.asarray(s.block_table, dtype=np.int64)
+                if p // bs < len(blocks):
+                    slots[i, 0] = blocks[p // bs] * bs + p % bs
+            step_ctx = np.where(np.arange(npad) < n, ctx + j, 0).astype(np.int32)
+            ql = np.where(np.arange(npad) < n, 1, 0).astype(np.int32)
+            tok, feat, self.kv = self._step(
+                self.params, self.kv,
+                tok[:, None], feat[:, None, :], jnp.asarray(ql),
+                jnp.asarray(step_ctx), jnp.asarray(slots), jnp.asarray(tables),
+            )
+            drafts.append(np.asarray(tok)[:n].copy())
+        out = np.stack(drafts, axis=1)  # [n, k]
+        return [row.tolist() for row in out]
+
+
 class DraftModelProposer:
     """Draft-MODEL speculative decoding — the Eagle/Medusa-class mechanism
     generalized to any supported checkpoint (the reference's README names

@@ -225,6 +225,8 @@ def forward(
     attention_backend: str = "auto",
     fused_store: bool = False,  # decode: kernel-side KV store (config.fused_decode_store)
     tp_axis: str | None = None,  # set when running per-shard inside shard_map
+    inputs_embeds: jnp.ndarray | None = None,  # [B, Tq, D] overrides the embed lookup (Eagle drafter)
+    capture_hidden: bool = False,  # also return post-final-norm hidden states [B, Tq, D]
 ) -> tuple[jnp.ndarray, list]:
     """One model step (prefill when Tq > 1, decode when Tq == 1).
 
@@ -245,7 +247,9 @@ def forward(
     b, tq = token_ids.shape
     positions = (context_lens - q_lens)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
 
-    if tp_axis is not None:
+    if inputs_embeds is not None:
+        h = inputs_embeds
+    elif tp_axis is not None:
         # vocab-parallel embedding (reference: nanovllm/layers/embed_head.py
         # :33-41): local lookup with out-of-shard ids masked to zero, then
         # all-reduce sums the one non-zero contribution
@@ -380,9 +384,13 @@ def forward(
             # full distributions (spec-decode verify): gather the vocab axis
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
             logits = logits[..., : spec.vocab_size]
+        if capture_hidden:
+            return (logits, h), new_kv
         return logits, new_kv
     last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
+    if capture_hidden:
+        return (head(h_last), h), new_kv
     return head(h_last), new_kv
 
 

@@ -1,0 +1,161 @@
+"""EAGLE feature-level speculative decoding (models/eagle.py, engine/spec.py
+EagleProposer).
+
+Key oracle: with a 1-layer target and a drafter built from the target's OWN
+trunk plus a fusion matrix that passes the token embedding straight through
+(fc = [I; 0]), the drafter computes exactly the target's forward — greedy
+drafts equal greedy target tokens, so acceptance must be exactly 1.0. On the
+same non-repetitive prompts the ngram proposer drafts nothing, demonstrating
+the feature-drafting gain the reference only aspired to (README.md:10-34).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+BS = 16
+
+
+@pytest.fixture(scope="module")
+def one_layer_target(tmp_path_factory):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    model = Qwen3ForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("tiny_qwen3_1l")
+    model.save_pretrained(path, safe_serialization=True)
+    return model, str(path)
+
+
+def _make_llm(path, spec_cfg=None, **over):
+    from byox_vllm_tpu.llm import LLM
+
+    kw = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=BS,
+    )
+    kw.update(over)
+    if spec_cfg is not None:
+        kw["speculative_config"] = spec_cfg
+    return LLM(path, **kw)
+
+
+def _target_replica_drafter(llm):
+    """Drafter == target trunk; fc passes the embedding through untouched."""
+    import jax.numpy as jnp
+
+    p = llm.model_runner.params
+    d = llm.model_runner.spec.hidden_size
+    fc = jnp.asarray(np.concatenate([np.eye(d), np.zeros((d, d))], 0), jnp.float32)
+    return {
+        "embed": p["embed"],
+        "lm_head": p.get("lm_head", p["embed"]),
+        "fc": fc,
+        "final_norm": p["final_norm"],
+        "layers": p["layers"],
+    }
+
+
+def test_hidden_capture_matches_hf(one_layer_target):
+    """The features handed to the drafter are the target's post-final-norm
+    hidden states — compared against HF's hidden_states[-1]."""
+    model, path = one_layer_target
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.engine.batch_prep import prepare_prefill
+    from byox_vllm_tpu.engine.block_manager import BlockManager
+    from byox_vllm_tpu.engine.sequence import Sequence
+    from byox_vllm_tpu.models.qwen3 import Qwen3Spec, forward, make_kv_cache
+    from byox_vllm_tpu.utils.loader import load_qwen3_params
+
+    spec = Qwen3Spec.from_hf_config(model.config)
+    params = load_qwen3_params(path, spec, jnp.float32)
+    prompt = [3, 17, 99, 140, 7, 250, 31, 8]
+    bm = BlockManager(16, BS)
+    seq = Sequence(prompt, BS)
+    bm.allocate(seq)
+    batch = prepare_prefill([seq], BS)
+    (logits, hidden), _ = forward(
+        params, make_kv_cache(spec, 256, jnp.float32),
+        jnp.asarray(batch.token_ids), jnp.asarray(batch.q_lens),
+        jnp.asarray(batch.context_lens), jnp.asarray(batch.slot_mapping),
+        jnp.asarray(batch.block_tables), spec, BS, capture_hidden=True,
+    )
+    with torch.no_grad():
+        ref = model(torch.tensor([prompt]), output_hidden_states=True)
+    ref_h = ref.hidden_states[-1][0].float().numpy()  # post-final-norm
+    np.testing.assert_allclose(np.asarray(hidden)[0, : len(prompt)], ref_h, rtol=2e-4, atol=2e-4)
+
+
+def test_eagle_target_replica_full_acceptance(one_layer_target):
+    """Drafter == target => every draft accepted (rate 1.0), outputs equal
+    plain greedy; ngram on the same non-repetitive prompts drafts nothing."""
+    model, path = one_layer_target
+    prompts = [list(range(10, 30)), list(range(40, 70, 2))]  # no repeats
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=16)
+    plain = _make_llm(path).generate(prompts, sp, use_tqdm=False)
+
+    eagle = _make_llm(path, {"method": "eagle", "num_speculative_tokens": 3})
+    eagle.proposer.params = _target_replica_drafter(eagle)
+    out = eagle.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, out):
+        assert a["token_ids"] == b["token_ids"]
+    m = eagle.spec_metrics.summary()
+    assert m["num_drafts"] > 0
+    assert m["draft_acceptance_rate"] == 1.0
+    assert m["mean_acceptance_length"] == 4.0  # k + 1 every window
+
+    ngram = _make_llm(
+        path,
+        {"method": "ngram", "num_speculative_tokens": 3, "prompt_lookup_max": 3},
+    )
+    nout = ngram.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, nout):
+        assert a["token_ids"] == b["token_ids"]
+    nm = ngram.spec_metrics.summary()
+    # non-repetitive content: prompt lookup finds nothing to draft
+    assert nm["mean_acceptance_length"] < m["mean_acceptance_length"]
+
+
+def test_eagle_random_drafter_is_output_safe(one_layer_target):
+    """A garbage drafter must not change outputs — rejection sampling owns
+    correctness; the drafter only modulates speed."""
+    _, path = one_layer_target
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    prompts = [list(range(5, 25)), [7, 3, 250, 9, 11, 40]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12)
+    plain = _make_llm(path).generate(prompts, sp, use_tqdm=False)
+    eagle = _make_llm(path, {"method": "eagle", "num_speculative_tokens": 4})
+    out = eagle.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, out):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_eagle_survives_preemption(one_layer_target):
+    """Tiny pool forces preemption mid-generation: the drafter re-ingests
+    from scratch (missing features fall back to zeros) and outputs still
+    match plain greedy."""
+    _, path = one_layer_target
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    prompts = [list(range(10, 40)), list(range(50, 80)), list(range(1, 30))]
+    sp = SamplingParams(temperature=0.0, max_tokens=10)
+    plain = _make_llm(path).generate(prompts, sp, use_tqdm=False)
+    tight = _make_llm(
+        path, {"method": "eagle", "num_speculative_tokens": 2},
+        num_kvcache_blocks=9, max_num_batched_tokens=64,
+    )
+    tight.proposer.params = _target_replica_drafter(tight)
+    out = tight.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, out):
+        assert a["token_ids"] == b["token_ids"]
