@@ -305,11 +305,14 @@ class ModelRunner:
 
             def step_specs(args):
                 (_, _, _, _, _, _, _, _, _, filters, runs, seed_info) = args
+                # prefill run arrays: dp segments, one per lane (shard-local
+                # src rows) -> shard over 'data'; replicated when dp == 1
+                run_spec = (P(Dx), P(Dx)) if self.dp > 1 else (P(), P())
                 ins = (
                     param_specs, kv_specs, P(Dx, None), P(Dx), P(Dx),
                     P(Dx, None), P(Dx, None), P(Dx), P(),
                     opt((P(Dx), P(Dx)), filters),
-                    opt((P(), P()), runs),
+                    opt(run_spec, runs),
                     opt((P(Dx), P(Dx)), seed_info),
                 )
                 return ins, (P(Dx), kv_specs)
@@ -474,14 +477,11 @@ class ModelRunner:
             seed_info = (jnp.asarray(padded.seeds), jnp.asarray(padded.steps))
         if is_prefill:
             # block-DUS KV stores for both bf16 and int8 pools (the int8
-            # variant quantizes once then DUSes all three pools). Under DP
-            # the run arrays would need per-shard splitting (each lane's DUS
-            # must touch only its own pool replica), so dp > 1 takes the
-            # slot-scatter path (slot -1 padding rows no-op per shard).
-            runs = (
-                _prefill_write_runs(seqs, padded.token_ids.shape[1], self.block_size)
-                if self.dp == 1
-                else None
+            # variant quantizes once then DUSes all three pools); under DP
+            # the run arrays carry one shard-local segment per lane
+            runs = _prefill_write_runs(
+                seqs, padded.token_ids.shape[1], self.block_size,
+                rows=rows, stride=num_rows // self.dp, dp=self.dp,
             )
             step_out = self._step(
                 self.params,
@@ -702,29 +702,40 @@ def _take_last_column(x):
     return x[:, -1]
 
 
-def _prefill_write_runs(seqs, padded_tq, block_size):
+def _prefill_write_runs(seqs, padded_tq, block_size, rows=None, stride=0, dp=1):
     """(run_dst, run_src) int32 arrays for block-aligned prefill KV stores
     (ops/kv_cache.py::write_kv_runs), or None when any sequence's cached
     prefix is not block-aligned (rare: the fully-cached-prompt recompute) —
     the caller then falls back to the scatter store. Run count is padded to
-    a power-of-two bucket by duplicating run 0."""
-    dst, src = [], []
+    a power-of-two bucket by duplicating run 0 (idempotent rewrite).
+
+    Data parallel (dp > 1): each lane's DUS may only touch its OWN pool
+    replica, so the arrays carry dp same-length segments — segment L holds
+    lane L's runs with SHARD-LOCAL src rows — sharded P('data') into the
+    per-shard step. Lanes short on runs pad with dst -1 (kernel no-op)."""
+    per = [[] for _ in range(dp)]  # (dst, src) per lane
     for i, seq in enumerate(seqs):
         start = seq.num_computed_tokens
         chunk = seq.scheduled_chunk or seq.num_pending_prefill_tokens
         if start % block_size:
             return None
+        lane, local_row = (0, i) if dp == 1 else (rows[i] // stride, rows[i] % stride)
         end_block = -(-(start + chunk) // block_size)
         for j in range(start // block_size, end_block):
-            dst.append(seq.block_table[j] * block_size)
-            src.append(i * padded_tq + (j * block_size - start))
-    if not dst:
+            per[lane].append(
+                (seq.block_table[j] * block_size, local_row * padded_tq + (j * block_size - start))
+            )
+    if not any(per):
         return None
     r = 1
-    while r < len(dst):
+    while r < max(len(p) for p in per):
         r *= 2
-    dst += [dst[0]] * (r - len(dst))
-    src += [src[0]] * (r - len(src))
+    dst, src = [], []
+    for p in per:
+        pad = (p[0] if p else (-1, 0),) * (r - len(p))
+        for d, s in list(p) + list(pad):
+            dst.append(d)
+            src.append(s)
     return jnp.asarray(np.array(dst, np.int32)), jnp.asarray(np.array(src, np.int32))
 
 

@@ -160,14 +160,19 @@ def write_kv_runs(
     vf = vf.astype(v_pool.dtype)
 
     def body(i, pools):
-        kp, vp = pools
-        kp = jax.lax.dynamic_update_slice_in_dim(
-            kp, jax.lax.dynamic_slice_in_dim(kf, run_src[i], block_size), run_dst[i], 0
-        )
-        vp = jax.lax.dynamic_update_slice_in_dim(
-            vp, jax.lax.dynamic_slice_in_dim(vf, run_src[i], block_size), run_dst[i], 0
-        )
-        return kp, vp
+        def write(pools):
+            kp, vp = pools
+            kp = jax.lax.dynamic_update_slice_in_dim(
+                kp, jax.lax.dynamic_slice_in_dim(kf, run_src[i], block_size), run_dst[i], 0
+            )
+            vp = jax.lax.dynamic_update_slice_in_dim(
+                vp, jax.lax.dynamic_slice_in_dim(vf, run_src[i], block_size), run_dst[i], 0
+            )
+            return kp, vp
+
+        # dst -1 = sentinel no-op (data-parallel lanes with no prefill rows
+        # pad their run list with it; see _prefill_write_runs)
+        return jax.lax.cond(run_dst[i] >= 0, write, lambda p: p, pools)
 
     return jax.lax.fori_loop(0, run_dst.shape[0], body, (k_pool, v_pool))
 
@@ -194,17 +199,20 @@ def write_kv_runs_quant(
     sf = jnp.concatenate([sc_rows, jnp.zeros((block_size, SCALE_LANES), sc_rows.dtype)])
 
     def body(i, pools):
-        kp, vp, sp = pools
-        src, dst = run_src[i], run_dst[i]
-        kp = jax.lax.dynamic_update_slice_in_dim(
-            kp, jax.lax.dynamic_slice_in_dim(kf, src, block_size), dst, 0
-        )
-        vp = jax.lax.dynamic_update_slice_in_dim(
-            vp, jax.lax.dynamic_slice_in_dim(vf, src, block_size), dst, 0
-        )
-        sp = jax.lax.dynamic_update_slice_in_dim(
-            sp, jax.lax.dynamic_slice_in_dim(sf, src, block_size), dst, 0
-        )
-        return kp, vp, sp
+        def write(pools):
+            kp, vp, sp = pools
+            src, dst = run_src[i], run_dst[i]
+            kp = jax.lax.dynamic_update_slice_in_dim(
+                kp, jax.lax.dynamic_slice_in_dim(kf, src, block_size), dst, 0
+            )
+            vp = jax.lax.dynamic_update_slice_in_dim(
+                vp, jax.lax.dynamic_slice_in_dim(vf, src, block_size), dst, 0
+            )
+            sp = jax.lax.dynamic_update_slice_in_dim(
+                sp, jax.lax.dynamic_slice_in_dim(sf, src, block_size), dst, 0
+            )
+            return kp, vp, sp
+
+        return jax.lax.cond(run_dst[i] >= 0, write, lambda p: p, pools)
 
     return jax.lax.fori_loop(0, run_dst.shape[0], body, (k_pool, v_pool, kv_scale))

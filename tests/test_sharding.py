@@ -188,3 +188,34 @@ def test_dp_lane_pinning_and_capacity():
     sched.postprocess(batch, [[1]] * len(batch), is_prefill=True)
     dec, is_prefill = sched.schedule()
     assert not is_prefill and len(dec) == 4
+
+
+def test_dp_empty_lane_prefill():
+    """A prefill step where one lane has no work: its run segment is all
+    dst=-1 sentinels and its pool replica must stay untouched (the next
+    request on that lane still generates correctly)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 256, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=32,
+        kvcache_block_size=16, seed=5,
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    prompt = list(range(1, 20))  # > 1 block: exercises run-DUS stores
+    single = LLM(**common).generate([prompt], sp, use_tqdm=False)
+    dp_llm = LLM(data_parallel_size=2, **common)
+    a = dp_llm.generate([prompt], sp, use_tqdm=False)  # lane 1 idle
+    b = dp_llm.generate([list(range(30, 45)), list(range(50, 70))], sp, use_tqdm=False)
+    assert a[0]["token_ids"] == single[0]["token_ids"]
+    ref = LLM(**common)
+    r = ref.generate([list(range(30, 45)), list(range(50, 70))], sp, use_tqdm=False)
+    for x, y in zip(r, b):
+        assert x["token_ids"] == y["token_ids"]
