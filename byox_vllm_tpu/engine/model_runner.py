@@ -78,6 +78,9 @@ def estimate_activation_bytes(spec, config) -> int:
     # budgets (engine/scheduler.py); tiny test budgets floor at one bucket
     tokens = max(config.max_num_batched_tokens, 8 * 16)
     h, inter = spec.hidden_size, spec.intermediate_size
+    if getattr(spec, "num_experts", None):
+        # routed MLP: N*K token-expert rows through the grouped matmuls
+        inter = max(inter, spec.num_experts_per_tok * spec.moe_intermediate_size)
     qkv = spec.q_size + 2 * spec.kv_size
     act = 2 * tokens * (8 * h + 3 * inter + 3 * qkv)
     if config.attention_backend == "dense":
@@ -219,9 +222,12 @@ class ModelRunner:
         from byox_vllm_tpu.models.qwen3 import make_kv_cache
         from byox_vllm_tpu.parallel.distributed import put_global
 
+        # +1 scratch block at the pool tail: the sentinel target for padded
+        # prefill write-runs (ops/kv_cache.py::write_kv_runs); no block table
+        # ever references it
         self.kv_cache = jax.tree.map(
             lambda x: put_global(x, kv_sharding),
-            make_kv_cache(self.spec, self.num_slots, kv_dtype, tp=self.tp),
+            make_kv_cache(self.spec, self.num_slots + self.block_size, kv_dtype, tp=self.tp),
         )
         kv_bytes = sum(x.nbytes for lay in self.kv_cache for x in lay)
         logger.info(
@@ -343,17 +349,26 @@ class ModelRunner:
                     ins, outs = specs_fn(args)
                     fn = self._tp_cache.get(key)
                     if fn is None:
-                        from jax.experimental.shard_map import shard_map
-
                         try:
-                            sm = shard_map(
-                                impl, mesh=self.mesh, in_specs=ins,
-                                out_specs=outs, check_rep=False,
-                            )
-                        except TypeError:  # newer jax: check_rep removed
-                            sm = shard_map(
-                                impl, mesh=self.mesh, in_specs=ins, out_specs=outs
-                            )
+                            from jax import shard_map
+                        except ImportError:  # older jax
+                            from jax.experimental.shard_map import shard_map
+
+                        # Replication/VMA checking must be OFF: the KV pool
+                        # replicas deliberately DIVERGE across the data axis
+                        # (each lane scatters only its own rows — the
+                        # per-lane-pool design, engine/scheduler.py
+                        # DataParallelScheduler), which the varying-manual-
+                        # axes type system would reject.
+                        for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+                            try:
+                                sm = shard_map(
+                                    impl, mesh=self.mesh, in_specs=ins,
+                                    out_specs=outs, **kw,
+                                )
+                                break
+                            except TypeError:
+                                continue
                         fn = jax.jit(sm, donate_argnums=(1,))
                         self._tp_cache[key] = fn
                     if jax.process_count() > 1:
@@ -482,6 +497,7 @@ class ModelRunner:
             runs = _prefill_write_runs(
                 seqs, padded.token_ids.shape[1], self.block_size,
                 rows=rows, stride=num_rows // self.dp, dp=self.dp,
+                scratch_dst=self.num_slots,
             )
             step_out = self._step(
                 self.params,
@@ -702,7 +718,7 @@ def _take_last_column(x):
     return x[:, -1]
 
 
-def _prefill_write_runs(seqs, padded_tq, block_size, rows=None, stride=0, dp=1):
+def _prefill_write_runs(seqs, padded_tq, block_size, rows=None, stride=0, dp=1, scratch_dst=0):
     """(run_dst, run_src) int32 arrays for block-aligned prefill KV stores
     (ops/kv_cache.py::write_kv_runs), or None when any sequence's cached
     prefix is not block-aligned (rare: the fully-cached-prompt recompute) —
@@ -712,7 +728,8 @@ def _prefill_write_runs(seqs, padded_tq, block_size, rows=None, stride=0, dp=1):
     Data parallel (dp > 1): each lane's DUS may only touch its OWN pool
     replica, so the arrays carry dp same-length segments — segment L holds
     lane L's runs with SHARD-LOCAL src rows — sharded P('data') into the
-    per-shard step. Lanes short on runs pad with dst -1 (kernel no-op)."""
+    per-shard step. Lanes short on runs pad with writes into the pool's
+    scratch tail block (``scratch_dst``)."""
     per = [[] for _ in range(dp)]  # (dst, src) per lane
     for i, seq in enumerate(seqs):
         start = seq.num_computed_tokens
@@ -732,7 +749,7 @@ def _prefill_write_runs(seqs, padded_tq, block_size, rows=None, stride=0, dp=1):
         r *= 2
     dst, src = [], []
     for p in per:
-        pad = (p[0] if p else (-1, 0),) * (r - len(p))
+        pad = (p[0] if p else (scratch_dst, 0),) * (r - len(p))
         for d, s in list(p) + list(pad):
             dst.append(d)
             src.append(s)

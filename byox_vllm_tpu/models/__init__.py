@@ -36,11 +36,25 @@ class _DecoderFamily:
         return load_qwen3_params(path, spec, dtype)
 
 
+class _MoeFamily(_DecoderFamily):
+    """Qwen3-MoE: the shared decoder with the routed-expert MLP branch
+    (models/qwen3.py::_moe_mlp). All-sparse stacks only."""
+
+    def spec_from_hf(self, hf) -> Qwen3Spec:
+        assert not getattr(hf, "mlp_only_layers", None) and getattr(hf, "decoder_sparse_step", 1) == 1, (
+            "interleaved dense/sparse MoE layer stacks are not supported"
+        )
+        spec = super().spec_from_hf(hf)
+        assert spec.num_experts and spec.num_experts_per_tok >= 1
+        return spec
+
+
 _REGISTRY = {
     "qwen3": _DecoderFamily(qk_norm=True),
     "qwen2": _DecoderFamily(qk_norm=False, attention_bias=True),
     "llama": _DecoderFamily(qk_norm=False),
     "mistral": _DecoderFamily(qk_norm=False, attention_bias=False),
+    "qwen3_moe": _MoeFamily(qk_norm=True),
 }
 
 

@@ -42,6 +42,58 @@ def _linear(x, w, quant_bits, act_bits=None):
     return jnp.einsum("btd,df->btf", x, w, preferred_element_type=x.dtype)
 
 
+def _moe_mlp(x: jnp.ndarray, lp: dict, spec: "Qwen3Spec", tp_axis: str | None = None) -> jnp.ndarray:
+    """Routed top-k mixture-of-experts MLP (Qwen3-MoE semantics: fp32 softmax
+    routing, optional top-k renormalization, SiLU-gated experts).
+
+    TPU-shaped dispatch: token->expert assignments are SORTED by expert id
+    (jnp stable argsort) and both expert matmuls run as ONE grouped
+    ``jax.lax.ragged_dot`` over the contiguous per-expert segments — the MXU
+    sees E dense matmuls back to back with no one-hot blowup and no
+    [N, E, ...] materialization; the weighted scatter-add restores token
+    order. (Reference scope: none — nano-vLLM is dense-only; this follows
+    the MaxText/megablocks grouped-matmul pattern.)
+
+    Expert parallelism (tp_axis set, experts sharded on 'model'): routing is
+    computed identically on every shard (the router is replicated), each
+    shard runs the grouped matmuls over ITS E/tp experts with non-local
+    assignments weight-masked to zero, and the caller's MLP psum merges the
+    shards' contributions — experts stream from HBM once across the mesh
+    (weight traffic is the decode bottleneck; the redundant N*K row FLOPs
+    are noise at serving batch sizes)."""
+    b, t, d = x.shape
+    e, k = spec.num_experts, spec.num_experts_per_tok  # e = LOCAL expert count
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+    router = lp["router"]
+    logits = jnp.einsum("nd,de->ne", xf.astype(jnp.float32), router.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, k)  # [N, K] over the GLOBAL expert space
+    if spec.norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if tp_axis is not None and router.shape[-1] != e:
+        lo = jax.lax.axis_index(tp_axis) * e
+        local = (topi >= lo) & (topi < lo + e)
+        topi = jnp.where(local, topi - lo, 0)
+        topw = jnp.where(local, topw, 0.0)
+
+    flat_expert = topi.reshape(-1)  # [N*K]
+    flat_tok = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    order = jnp.argsort(flat_expert)  # stable: ties keep token order
+    sort_tok = flat_tok[order]
+    xs = xf[sort_tok]  # [N*K, D] grouped by expert
+    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+    gu = jax.lax.ragged_dot(xs, lp["moe_gate_up"], group_sizes)  # [N*K, 2*Fm]
+    gate, up = jnp.split(gu, 2, axis=-1)
+    y = jax.nn.silu(gate) * up
+    out = jax.lax.ragged_dot(y, lp["moe_down"], group_sizes)  # [N*K, D]
+
+    w_sorted = topw.reshape(-1)[order].astype(out.dtype)
+    mixed = jnp.zeros((n, d), out.dtype).at[sort_tok].add(out * w_sorted[:, None])
+    return mixed.reshape(b, t, d).astype(x.dtype)
+
+
 def _slice_layer(w, i):
     if isinstance(w, dict):
         return {k: v[i] for k, v in w.items()}
@@ -54,7 +106,8 @@ def quantize_layer_params(layer_params: dict, bits: int, tp: int = 1) -> dict:
     shard evenly (ops/quant.py::quantize_weight)."""
     out = dict(layer_params)
     for name in QUANTIZED_LAYER_WEIGHTS:
-        out[name] = quantize_weight(layer_params[name], bits, tp=tp)
+        if name in layer_params:  # MoE layers have no dense w_gate_up/w_down
+            out[name] = quantize_weight(layer_params[name], bits, tp=tp)
     return out
 
 
@@ -115,6 +168,12 @@ class Qwen3Spec:
     # bf16 on 8B) and streams fully every decode step, but it is also the
     # most quality-sensitive matmul — int8 halves its traffic at ~0 ppl cost.
     head_bits: int | None = None
+    # Mixture-of-experts (Qwen3-MoE family): every layer's MLP is a routed
+    # top-k expert block. None = dense model.
+    num_experts: int | None = None
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
 
     @classmethod
     def from_hf_config(cls, hf, qk_norm: bool = True, attention_bias: bool | None = None) -> "Qwen3Spec":
@@ -139,6 +198,13 @@ class Qwen3Spec:
             attention_bias=attention_bias,
             qk_norm=qk_norm,
             max_position_embeddings=get("max_position_embeddings", 40960),
+            # MoE fields exist only on sparse configs (qwen3_moe). Dense
+            # layers interleaved via decoder_sparse_step/mlp_only_layers are
+            # not supported (Qwen3-MoE ships all-sparse by default).
+            num_experts=get("num_experts", None),
+            num_experts_per_tok=get("num_experts_per_tok", 0) or 0,
+            moe_intermediate_size=get("moe_intermediate_size", 0) or 0,
+            norm_topk_prob=bool(get("norm_topk_prob", True)),
         )
 
     @property
@@ -183,9 +249,15 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
         "wqkv": w(L, D, spec.qkv_size),
         "wo": w(L, spec.q_size, D),
         "mlp_norm": ones(L, D),
-        "w_gate_up": w(L, D, 2 * F),
-        "w_down": w(L, F, D),
     }
+    if spec.num_experts:
+        E, Fm = spec.num_experts, spec.moe_intermediate_size
+        layer_params["router"] = w(L, D, E)
+        layer_params["moe_gate_up"] = w(L, E, D, 2 * Fm)
+        layer_params["moe_down"] = w(L, E, Fm, D)
+    else:
+        layer_params["w_gate_up"] = w(L, D, 2 * F)
+        layer_params["w_down"] = w(L, F, D)
     if spec.qk_norm:
         layer_params["q_norm"] = ones(L, spec.head_dim)
         layer_params["k_norm"] = ones(L, spec.head_dim)
@@ -359,10 +431,13 @@ def forward(
         h = h + attn_out
 
         x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
-        gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits, spec.act_bits)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        y = jax.nn.silu(gate) * up
-        mlp_out = _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
+        if spec.num_experts:
+            mlp_out = _moe_mlp(x, lp, spec, tp_axis=tp_axis)
+        else:
+            gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits, spec.act_bits)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            y = jax.nn.silu(gate) * up
+            mlp_out = _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         h = h + mlp_out

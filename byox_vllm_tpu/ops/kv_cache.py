@@ -151,6 +151,9 @@ def write_kv_runs(
     run 0 (rewriting identical data is a no-op) and clamping every run to a
     full block: trailing rows spill into the same block's still-future slots,
     which are masked by context_len until their real tokens overwrite them.
+    A lane with no prefill rows (data parallelism) pads with runs aimed at
+    the pool's SCRATCH block — one extra block past the last real slot that
+    no block table ever references (engine/model_runner.py allocates it).
     """
     n = k_new.shape[0]
     f = k_pool.shape[1]
@@ -160,19 +163,14 @@ def write_kv_runs(
     vf = vf.astype(v_pool.dtype)
 
     def body(i, pools):
-        def write(pools):
-            kp, vp = pools
-            kp = jax.lax.dynamic_update_slice_in_dim(
-                kp, jax.lax.dynamic_slice_in_dim(kf, run_src[i], block_size), run_dst[i], 0
-            )
-            vp = jax.lax.dynamic_update_slice_in_dim(
-                vp, jax.lax.dynamic_slice_in_dim(vf, run_src[i], block_size), run_dst[i], 0
-            )
-            return kp, vp
-
-        # dst -1 = sentinel no-op (data-parallel lanes with no prefill rows
-        # pad their run list with it; see _prefill_write_runs)
-        return jax.lax.cond(run_dst[i] >= 0, write, lambda p: p, pools)
+        kp, vp = pools
+        kp = jax.lax.dynamic_update_slice_in_dim(
+            kp, jax.lax.dynamic_slice_in_dim(kf, run_src[i], block_size), run_dst[i], 0
+        )
+        vp = jax.lax.dynamic_update_slice_in_dim(
+            vp, jax.lax.dynamic_slice_in_dim(vf, run_src[i], block_size), run_dst[i], 0
+        )
+        return kp, vp
 
     return jax.lax.fori_loop(0, run_dst.shape[0], body, (k_pool, v_pool))
 
@@ -199,20 +197,17 @@ def write_kv_runs_quant(
     sf = jnp.concatenate([sc_rows, jnp.zeros((block_size, SCALE_LANES), sc_rows.dtype)])
 
     def body(i, pools):
-        def write(pools):
-            kp, vp, sp = pools
-            src, dst = run_src[i], run_dst[i]
-            kp = jax.lax.dynamic_update_slice_in_dim(
-                kp, jax.lax.dynamic_slice_in_dim(kf, src, block_size), dst, 0
-            )
-            vp = jax.lax.dynamic_update_slice_in_dim(
-                vp, jax.lax.dynamic_slice_in_dim(vf, src, block_size), dst, 0
-            )
-            sp = jax.lax.dynamic_update_slice_in_dim(
-                sp, jax.lax.dynamic_slice_in_dim(sf, src, block_size), dst, 0
-            )
-            return kp, vp, sp
-
-        return jax.lax.cond(run_dst[i] >= 0, write, lambda p: p, pools)
+        kp, vp, sp = pools
+        src, dst = run_src[i], run_dst[i]
+        kp = jax.lax.dynamic_update_slice_in_dim(
+            kp, jax.lax.dynamic_slice_in_dim(kf, src, block_size), dst, 0
+        )
+        vp = jax.lax.dynamic_update_slice_in_dim(
+            vp, jax.lax.dynamic_slice_in_dim(vf, src, block_size), dst, 0
+        )
+        sp = jax.lax.dynamic_update_slice_in_dim(
+            sp, jax.lax.dynamic_slice_in_dim(sf, src, block_size), dst, 0
+        )
+        return kp, vp, sp
 
     return jax.lax.fori_loop(0, run_dst.shape[0], body, (k_pool, v_pool, kv_scale))

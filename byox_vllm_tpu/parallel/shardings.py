@@ -33,6 +33,13 @@ def qwen3_param_specs(params: dict, mesh=None) -> dict:
         "mlp_norm": P(None, None),
         "w_gate_up": P(None, None, M),
         "w_down": P(None, M, None),
+        # MoE (qwen3_moe): EXPERT-parallel — the expert dim rides 'model', so
+        # each shard streams only E/tp experts' weights (weight traffic is
+        # the decode bottleneck); the router stays replicated and non-local
+        # assignments are weight-masked to zero before the MLP psum
+        "router": P(None, None, None),
+        "moe_gate_up": P(None, M, None, None),
+        "moe_down": P(None, M, None, None),
     }
     def fit(spec, value):
         """Drop axes a leaf's dims can't be divided over (e.g. quantized

@@ -66,21 +66,30 @@ def tp_permute_layer_params(layer_params: dict, spec, tp: int) -> dict:
     out["wqkv"] = _permute_cols(layer_params["wqkv"], qkv_order)
     if "bqkv" in layer_params:
         out["bqkv"] = _permute_cols(layer_params["bqkv"], qkv_order)
-    gu_order = _gate_up_permutation(spec.intermediate_size, tp)
-    out["w_gate_up"] = _permute_cols(layer_params["w_gate_up"], gu_order)
+    if "w_gate_up" in layer_params:  # dense MLP only — MoE experts shard WHOLE
+        gu_order = _gate_up_permutation(spec.intermediate_size, tp)
+        out["w_gate_up"] = _permute_cols(layer_params["w_gate_up"], gu_order)
     return out
 
 
 def local_spec(spec, tp: int):
     """The per-shard model spec: heads divide across the model axis (vocab
-    stays GLOBAL — the embedding/head handle vocab sharding explicitly)."""
+    stays GLOBAL — the embedding/head handle vocab sharding explicitly).
+    MoE: EXPERTS divide across the model axis (expert-parallel: each shard
+    streams only its experts' weights; non-local assignments contribute zero
+    and the MLP psum merges — see models/qwen3.py::_moe_mlp)."""
     if tp <= 1:
         return spec
     assert spec.num_heads % tp == 0, (spec.num_heads, tp)
     assert spec.num_kv_heads % tp == 0, (spec.num_kv_heads, tp)
+    kw = {}
+    if spec.num_experts:
+        assert spec.num_experts % tp == 0, (spec.num_experts, tp)
+        kw["num_experts"] = spec.num_experts // tp
     return replace(
         spec,
         num_heads=spec.num_heads // tp,
         num_kv_heads=spec.num_kv_heads // tp,
         intermediate_size=spec.intermediate_size // tp,
+        **kw,
     )

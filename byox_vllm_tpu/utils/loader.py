@@ -52,7 +52,8 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
     def linear(name):  # torch [out, in] -> [in, out]
         return get(name).T
 
-    keys = ["attn_norm", "wqkv", "wo", "mlp_norm", "w_gate_up", "w_down"]
+    keys = ["attn_norm", "wqkv", "wo", "mlp_norm"]
+    keys += ["router", "moe_gate_up", "moe_down"] if spec.num_experts else ["w_gate_up", "w_down"]
     if spec.qk_norm:
         keys += ["q_norm", "k_norm"]
     if spec.attention_bias:
@@ -77,10 +78,24 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
             layers["k_norm"].append(get(p + "self_attn.k_norm.weight"))
         layers["wo"].append(linear(p + "self_attn.o_proj.weight"))
         layers["mlp_norm"].append(get(p + "post_attention_layernorm.weight"))
-        wg = linear(p + "mlp.gate_proj.weight")
-        wu = linear(p + "mlp.up_proj.weight")
-        layers["w_gate_up"].append(np.concatenate([wg, wu], axis=1))
-        layers["w_down"].append(linear(p + "mlp.down_proj.weight"))
+        if spec.num_experts:
+            layers["router"].append(linear(p + "mlp.gate.weight"))  # [D, E]
+            layers["moe_gate_up"].append(np.stack([
+                np.concatenate([
+                    linear(p + f"mlp.experts.{e}.gate_proj.weight"),
+                    linear(p + f"mlp.experts.{e}.up_proj.weight"),
+                ], axis=1)
+                for e in range(spec.num_experts)
+            ]))  # [E, D, 2*Fm]
+            layers["moe_down"].append(np.stack([
+                linear(p + f"mlp.experts.{e}.down_proj.weight")
+                for e in range(spec.num_experts)
+            ]))  # [E, Fm, D]
+        else:
+            wg = linear(p + "mlp.gate_proj.weight")
+            wu = linear(p + "mlp.up_proj.weight")
+            layers["w_gate_up"].append(np.concatenate([wg, wu], axis=1))
+            layers["w_down"].append(linear(p + "mlp.down_proj.weight"))
 
     def stack(name):
         return jnp.asarray(np.stack(layers[name]), dtype=dtype)
