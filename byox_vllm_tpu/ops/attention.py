@@ -65,15 +65,16 @@ def paged_attention(
         # per step measured 128 vs 157 us at B=128/ctx150/int8 (8B shapes).
         kver = os.environ.get("BYOX_DECODE_KERNEL", "v3")
         b = q.shape[0]
+        sb = int(os.environ.get("BYOX_DECODE_SB", "4"))  # grid-step batching
         kwargs = {}
         if kver == "v1":
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention as kernel
-        elif kver == "v2" or b % 4:
+        elif kver == "v2" or b % sb:
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2 as kernel
         else:
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3 as kernel
 
-            kwargs["seqs_per_step"] = 4
+            kwargs["seqs_per_step"] = sb
 
         out = kernel(
             q[:, 0], k_pool, v_pool, block_tables, context_lens,

@@ -78,6 +78,9 @@ def main():
         "v3": functools.partial(paged_decode_attention_v3, seqs_per_step=4),
         "v3sb2": functools.partial(paged_decode_attention_v3, seqs_per_step=2),
         "v3sb8": functools.partial(paged_decode_attention_v3, seqs_per_step=8),
+        "v3sb16": functools.partial(paged_decode_attention_v3, seqs_per_step=16),
+        "v3ppc1": functools.partial(paged_decode_attention_v3, seqs_per_step=4, max_pages_per_chunk=1),
+        "v3ppc8": functools.partial(paged_decode_attention_v3, seqs_per_step=4, max_pages_per_chunk=8),
     }
 
     kv_bytes = (
