@@ -460,6 +460,9 @@ class ModelRunner:
         for s in seqs:
             counts[s.dp_shard] += 1
         stride = _next_bucket(max(max(counts), 1), self.lane_buckets)
+        # an over-admitting lane would spill rows onto the next data shard
+        # (DataParallelScheduler divides admission caps to prevent this)
+        assert max(counts) <= stride, (counts, self.lane_buckets)
         return stride * self.dp, lane_rows(counts, stride)
 
     def run(self, seqs: list[Sequence], is_prefill: bool, lookahead: int = 1) -> list:

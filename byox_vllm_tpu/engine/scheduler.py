@@ -270,8 +270,21 @@ class DataParallelScheduler:
     """
 
     def __init__(self, config: Config, decode_lookahead: int = 1):
+        from dataclasses import replace
+
         self.dp = config.data_parallel_size
-        self.lanes = [Scheduler(config, decode_lookahead) for _ in range(self.dp)]
+        # Admission caps divide across lanes: the runner's row layout gives
+        # each lane a stride of ceil(max_num_seqs/dp) rows, so a lane must
+        # never schedule more than that (an over-admitting lane would spill
+        # rows into the next lane's data shard — silent KV corruption); the
+        # token budget splits likewise so the global padded-batch invariant
+        # (rows x tokens <= budget) holds across the concatenated lanes.
+        lane_config = replace(
+            config,
+            max_num_seqs=-(-config.max_num_seqs // self.dp),
+            max_num_batched_tokens=-(-config.max_num_batched_tokens // self.dp),
+        )
+        self.lanes = [Scheduler(lane_config, decode_lookahead) for _ in range(self.dp)]
         self.last_lookahead = 1
         self._next_lane = 0
 

@@ -67,26 +67,30 @@ class Sequence:
         self.prompt = list(self.prompt)
         if self.sampling_params is None:
             self.sampling_params = SamplingParams()
+        # flat prompt+completion view, maintained incrementally: hot paths
+        # (block hashing, batch prep, ngram scans) read it every step and a
+        # concat-per-access property would make allocate() quadratic
+        self._stream = list(self.prompt)
 
     # -- token stream -------------------------------------------------------
 
     @property
     def token_ids(self) -> list[int]:
-        return self.prompt + self.completion
+        return self._stream
 
     @property
     def num_tokens(self) -> int:
-        return len(self.prompt) + len(self.completion)
+        return len(self._stream)
 
     def __len__(self) -> int:
-        return self.num_tokens
+        return len(self._stream)
 
     def __getitem__(self, key):
-        return self.token_ids[key]
+        return self._stream[key]
 
     @property
     def last_token(self) -> int:
-        return self.completion[-1] if self.completion else self.prompt[-1]
+        return self._stream[-1]
 
     @property
     def num_prompt_tokens(self) -> int:
@@ -106,12 +110,14 @@ class Sequence:
 
     def append_token(self, token_id: int) -> None:
         self.completion.append(token_id)
+        self._stream.append(token_id)
 
     def pop_tokens(self, n: int) -> None:
         """Roll back the last ``n`` generated tokens (spec-decode rejection)."""
         assert 0 <= n <= len(self.completion)
         if n:
             del self.completion[-n:]
+            del self._stream[-n:]
 
     # -- sampling knobs (delegated) ------------------------------------------
 

@@ -181,8 +181,8 @@ class EagleProposer:
 
         jnp = self._jnp
         r = self.target
-        k = min(self.k, max_draft) if max_draft else self.k
-        if k < 1:
+        k = self.k if max_draft is None else min(self.k, max_draft)
+        if k < 1:  # lookahead collapsed (e.g. max_model_len ceiling): no drafts
             return [[] for _ in seqs]
         n = len(seqs)
         bs = r.block_size
@@ -224,6 +224,14 @@ class EagleProposer:
         )
         for s in seqs:
             self._done[s.seq_id] = len(s)
+            # features below done-1 can never be read again: bound the store
+            # to the active window (an 8B hidden vector is 16 KB — unpruned,
+            # a long generation would pin GBs of host RAM)
+            store = self._feats.get(s.seq_id)
+            if store:
+                floor = len(s) - 1
+                for pos in [p for p in store if p < floor]:
+                    del store[pos]
         drafts = [np.asarray(tok)[:n].copy()]
 
         # --- K-1 autoregressive draft steps --------------------------------
@@ -312,8 +320,8 @@ class DraftModelProposer:
 
         jnp = self._jnp
         r = self.runner
-        k = min(self.k, max_draft) if max_draft else self.k
-        if k < 1:
+        k = self.k if max_draft is None else min(self.k, max_draft)
+        if k < 1:  # lookahead collapsed (e.g. max_model_len ceiling): no drafts
             return [[] for _ in seqs]
         n = len(seqs)
         bs = r.block_size
@@ -346,12 +354,18 @@ class DraftModelProposer:
             temperatures=np.zeros(n, dtype=np.float32),  # greedy drafts
             is_prefill=True,
         )
+        # the drafter runner shares the target's mesh config: under dp > 1
+        # its shard_map callers split rows per lane, so the batch must use
+        # the same lane-grouped layout as the target's (rows from _layout)
+        num_rows, rows = r._layout(seqs, n)
         padded = pad_batch(
             batch,
-            num_seqs=_next_bucket(n, r.seq_buckets),
+            num_seqs=num_rows,
             num_tokens=_next_bucket(tq, r.token_buckets),
             table_width=_next_bucket(tables.shape[1], r.table_buckets),
+            rows=rows,
         )
+        dst = np.arange(n) if rows is None else rows
         import jax
 
         self_key = jax.random.PRNGKey(0)  # greedy drafts: key is unused
@@ -365,7 +379,7 @@ class DraftModelProposer:
         for s in seqs:
             self._done[s.seq_id] = len(s)
         if k == 1:
-            drafts = np.asarray(first)[:n, None]
+            drafts = r._host_fetch(first)[dst][:, None]
             return [row.tolist() for row in drafts]
 
         # --- K-1 decode window continuing from draft 1 ---------------------
@@ -375,8 +389,8 @@ class DraftModelProposer:
         for i, s in enumerate(seqs):
             pos = len(s) + np.arange(k - 1)
             blocks = np.asarray(s.block_table, dtype=np.int64)
-            slots[i] = blocks[pos // bs] * bs + pos % bs
-            ctx[i] = len(s) + 1  # draft 1 is the current token of step 0
+            slots[dst[i]] = blocks[pos // bs] * bs + pos % bs
+            ctx[dst[i]] = len(s) + 1  # draft 1 is the current token of step 0
         rest, r.kv_cache = r._decode(
             r.params, r.kv_cache,
             first,
@@ -385,6 +399,6 @@ class DraftModelProposer:
             jnp.asarray(np.zeros(npad, dtype=np.float32)),
             self_key, None, None,
         )
-        first = np.asarray(first)[:n]
-        rest = np.asarray(rest)[:n]
+        first = r._host_fetch(first)[dst]
+        rest = r._host_fetch(rest)[dst]
         return [[int(first[i])] + rest[i].tolist() for i in range(n)]

@@ -219,3 +219,77 @@ def test_dp_empty_lane_prefill():
     r = ref.generate([list(range(30, 45)), list(range(50, 70))], sp, use_tqdm=False)
     for x, y in zip(r, b):
         assert x["token_ids"] == y["token_ids"]
+
+
+def test_dp_overadmission_is_capped():
+    """More live requests than one lane's row stride: admission divides
+    across lanes so no lane can spill rows onto another's data shard
+    (advisor finding: silent cross-lane KV corruption)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 256, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=64,
+        kvcache_block_size=16, max_num_seqs=8, seed=5,
+    )
+    # 16 requests > max_num_seqs, staggered finishes -> lanes go unbalanced
+    prompts = [[i + 1, i + 2, i + 3] for i in range(16)]
+    sps = [
+        SamplingParams(temperature=0.0, max_tokens=3 + (i % 5), ignore_eos=True)
+        for i in range(16)
+    ]
+    single = LLM(**common).generate(prompts, sps, use_tqdm=False)
+    dp = LLM(data_parallel_size=2, **common).generate(prompts, sps, use_tqdm=False)
+    for a, b in zip(single, dp):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_dp_draft_model_spec_lane_layout():
+    """draft_model speculative decoding under dp=2: the drafter batches must
+    use the lane-grouped row layout or its KV lands in the wrong replica
+    (outputs would stay correct but acceptance collapses — assert both)."""
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as path:
+        Qwen3ForCausalLM(cfg).eval().save_pretrained(path, safe_serialization=True)
+        common = dict(
+            dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+            num_kvcache_blocks=64, kvcache_block_size=16,
+        )
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7, 8, 7, 8, 7, 8], [4, 5, 6, 4, 5]]
+        sp = SamplingParams(temperature=0.0, max_tokens=16)
+        plain = LLM(path, **common).generate(prompts, sp, use_tqdm=False)
+        spec_llm = LLM(
+            path, data_parallel_size=2,
+            speculative_config={
+                "method": "draft_model", "num_speculative_tokens": 3,
+                "model": path,  # self-draft: acceptance must be 1.0
+            },
+            **common,
+        )
+        out = spec_llm.generate(prompts, sp, use_tqdm=False)
+        for a, b in zip(plain, out):
+            assert a["token_ids"] == b["token_ids"]
+        m = spec_llm.spec_metrics.summary()
+        assert m["num_drafts"] > 0
+        assert m["draft_acceptance_rate"] == 1.0, m  # wrong-lane KV would tank this
