@@ -159,3 +159,23 @@ def test_eagle_survives_preemption(one_layer_target):
     out = tight.generate(prompts, sp, use_tqdm=False)
     for a, b in zip(plain, out):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_eagle_with_chunked_prefill(one_layer_target):
+    """Chunked prefill feeds the drafter features chunk by chunk; the
+    target-replica drafter must still reach full acceptance."""
+    _, path = one_layer_target
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    prompts = [list(range(10, 58))]  # 48 tokens > 32-token budget -> 2 chunks
+    sp = SamplingParams(temperature=0.0, max_tokens=12)
+    plain = _make_llm(path).generate(prompts, sp, use_tqdm=False)
+    eagle = _make_llm(
+        path, {"method": "eagle", "num_speculative_tokens": 3},
+        max_num_batched_tokens=32,
+    )
+    eagle.proposer.params = _target_replica_drafter(eagle)
+    out = eagle.generate(prompts, sp, use_tqdm=False)
+    assert plain[0]["token_ids"] == out[0]["token_ids"]
+    m = eagle.spec_metrics.summary()
+    assert m["draft_acceptance_rate"] == 1.0, m
