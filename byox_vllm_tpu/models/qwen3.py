@@ -174,6 +174,9 @@ class Qwen3Spec:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Sliding-window attention (Mistral; Qwen2 when use_sliding_window):
+    # each query attends to at most the last `sliding_window` positions.
+    sliding_window: int | None = None
 
     @classmethod
     def from_hf_config(cls, hf, qk_norm: bool = True, attention_bias: bool | None = None) -> "Qwen3Spec":
@@ -205,6 +208,13 @@ class Qwen3Spec:
             num_experts_per_tok=get("num_experts_per_tok", 0) or 0,
             moe_intermediate_size=get("moe_intermediate_size", 0) or 0,
             norm_topk_prob=bool(get("norm_topk_prob", True)),
+            # Mistral: sliding_window set directly; Qwen2 gates it behind
+            # use_sliding_window (False on the released checkpoints)
+            sliding_window=(
+                get("sliding_window", None)
+                if get("use_sliding_window", True) is not False
+                else None
+            ),
         )
 
     @property
@@ -381,6 +391,7 @@ def forward(
                 q[:, 0], lay[0], lay[1], block_tables, pool_ctx,
                 k_tail, v_tail, tail_index, block_size, scale,
                 kv_scales=kv_scales, backend=attention_backend,
+                window=spec.sliding_window,
             )[:, None]
         elif tq == 1 and fused_store:
             # decode: fused store-and-attend (the kernel writes the new
@@ -390,7 +401,7 @@ def forward(
             o, lay = decode_attention_store(
                 q[:, 0], kv_cache[i], block_tables, context_lens,
                 k_flat, v_flat, flat_slots, block_size, scale,
-                backend=attention_backend,
+                backend=attention_backend, window=spec.sliding_window,
             )
             o = o[:, None]
             new_kv.append(lay)
@@ -422,7 +433,7 @@ def forward(
                 kv_scales = None
             o = attend(
                 q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
-                kv_scales=kv_scales,
+                kv_scales=kv_scales, window=spec.sliding_window,
             )
         o = o.reshape(b, tq, spec.q_size)
         attn_out = _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)

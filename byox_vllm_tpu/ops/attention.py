@@ -35,6 +35,7 @@ def paged_attention(
     q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
     backend: str = "auto",
     kv_scales=None,  # unified [S, 128] bf16 scale pool when the KV pool is int8
+    window: int | None = None,  # sliding-window attention (Mistral/Qwen2)
 ):
     """Backend dispatch: Pallas decode kernel on TPU for Tq == 1 (the
     throughput path), XLA dense fallback everywhere else. Tq is a static
@@ -67,22 +68,27 @@ def paged_attention(
         b = q.shape[0]
         sb = int(os.environ.get("BYOX_DECODE_SB", "4"))  # grid-step batching
         kwargs = {}
-        if kver == "v1":
+        if kver == "v1" and window is None:
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention as kernel
-        elif kver == "v2" or b % sb:
+        elif (kver == "v2" or b % sb) and window is None:
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2 as kernel
-        else:
+        elif b % 4 == 0:
+            # v3 is the only kernel with sliding-window support (band mask +
+            # out-of-window page-DMA skip)
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3 as kernel
 
-            kwargs["seqs_per_step"] = sb
-
-        out = kernel(
-            q[:, 0], k_pool, v_pool, block_tables, context_lens,
-            block_size=block_size, scale=scale, interpret=not on_tpu,
-            kv_scales=kv_scales, **kwargs,
-        )
-        return out[:, None]
-    if tq > 1 and use_pallas and tq % min(128, tq) == 0:
+            kwargs["seqs_per_step"] = sb if b % sb == 0 else 4
+            kwargs["window"] = window
+        else:
+            kernel = None
+        if kernel is not None:
+            out = kernel(
+                q[:, 0], k_pool, v_pool, block_tables, context_lens,
+                block_size=block_size, scale=scale, interpret=not on_tpu,
+                kv_scales=kv_scales, **kwargs,
+            )
+            return out[:, None]
+    if tq > 1 and use_pallas and window is None and tq % min(128, tq) == 0:
         from byox_vllm_tpu.ops.prefill_attention import paged_prefill_attention
 
         q_lens = context_lens - positions[:, 0]
@@ -93,7 +99,7 @@ def paged_attention(
         )
     return paged_attention_dense(
         q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
-        kv_scales=kv_scales,
+        kv_scales=kv_scales, window=window,
     )
 
 
@@ -106,6 +112,7 @@ def decode_attention_store(
     slots,  # [B] int32 slot of the current token, -1 = padding
     block_size, scale,
     backend: str = "auto",
+    window: int | None = None,
 ):
     """Fused store-and-attend decode step: the attention kernel DMAs the new
     K/V (and scale) rows into the aliased pools itself and the current token
@@ -127,7 +134,7 @@ def decode_attention_store(
                 q, layer_cache[0], layer_cache[1], block_tables,
                 context_lens - 1,  # pool holds everything but the current token
                 block_size=block_size, scale=scale, interpret=not on_tpu,
-                kv_scales=layer_cache[2], seqs_per_step=4,
+                kv_scales=layer_cache[2], seqs_per_step=4, window=window,
                 k_tail=k_new.astype(jnp.bfloat16)[:, None],
                 v_tail=v_new.astype(jnp.bfloat16)[:, None],
                 tail_len=jnp.int32(0),
@@ -140,7 +147,7 @@ def decode_attention_store(
         o, kp, vp = paged_decode_attention_v3(
             q, layer_cache[0], layer_cache[1], block_tables, context_lens - 1,
             block_size=block_size, scale=scale, interpret=not on_tpu,
-            seqs_per_step=4,
+            seqs_per_step=4, window=window,
             k_tail=k_new.astype(layer_cache[0].dtype)[:, None],
             v_tail=v_new.astype(layer_cache[1].dtype)[:, None],
             tail_len=jnp.int32(0),
@@ -159,7 +166,7 @@ def decode_attention_store(
     positions = (context_lens - 1)[:, None]
     o = paged_attention(
         q[:, None], kp, vp, block_tables, context_lens, positions, block_size,
-        scale, backend=backend, kv_scales=kv_scales,
+        scale, backend=backend, kv_scales=kv_scales, window=window,
     )
     return o[:, 0], lay
 
@@ -173,6 +180,7 @@ def decode_attention_with_tail(
     block_size, scale,
     kv_scales=None,
     backend: str = "auto",
+    window: int | None = None,
 ):
     """Window-staged decode attention: paged attention over the (static)
     pool contents merged with attention over the window's staged tail rows
@@ -199,20 +207,24 @@ def decode_attention_with_tail(
                 q, k_pool, v_pool, block_tables, pool_ctx,
                 block_size=block_size, scale=scale, interpret=not on_tpu,
                 kv_scales=kv_scales, k_tail=k_tail, v_tail=v_tail,
-                tail_len=tail_index, seqs_per_step=4,
+                tail_len=tail_index, seqs_per_step=4, window=window,
             )
-        from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
+        if window is None:
+            from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
 
-        return paged_decode_attention_v2(
-            q, k_pool, v_pool, block_tables, pool_ctx,
-            block_size=block_size, scale=scale, interpret=not on_tpu,
-            kv_scales=kv_scales, k_tail=k_tail, v_tail=v_tail,
-            tail_len=tail_index,
-        )
+            return paged_decode_attention_v2(
+                q, k_pool, v_pool, block_tables, pool_ctx,
+                block_size=block_size, scale=scale, interpret=not on_tpu,
+                kv_scales=kv_scales, k_tail=k_tail, v_tail=v_tail,
+                tail_len=tail_index,
+            )
 
+    # keys within [qpos-W+1, ctx): the query sits past the pool at
+    # pool_ctx + tail_index
+    lo = None if window is None else pool_ctx + tail_index + 1 - window
     o_p, m_p, l_p = _paged_attention_ml(
         q, k_pool, v_pool, block_tables, pool_ctx, block_size, scale,
-        kv_scales=kv_scales, backend=backend,
+        kv_scales=kv_scales, backend=backend, lo=lo,
     )  # o normalized [B, nh, hd]; m/l [B, nh] f32
 
     qg = q.reshape(b, nkv, group, hd).astype(jnp.float32)
@@ -240,14 +252,15 @@ def decode_attention_with_tail(
 
 def _paged_attention_ml(
     q, k_pool, v_pool, block_tables, context_lens, block_size, scale,
-    kv_scales=None, backend: str = "auto",
+    kv_scales=None, backend: str = "auto", lo=None,
 ):
     """Decode attention over the pool returning (normalized out [B, nh, hd],
     m [B, nh], l [B, nh]) online-softmax stats for external merging. Rows
-    with context_len == 0 return (0, -inf, 0)."""
+    with context_len == 0 return (0, -inf, 0). ``lo`` ([B] int32) masks keys
+    below a per-row floor (sliding window; dense path only)."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
-    if use_pallas and q.shape[-1] == 128:
+    if use_pallas and lo is None and q.shape[-1] == 128:
         from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
 
         out, ml = paged_decode_attention_v2(
@@ -271,7 +284,10 @@ def _paged_attention_ml(
     s = jnp.einsum(
         "bkgd,bskd->bkgs", qg, k.astype(jnp.float32), preferred_element_type=jnp.float32
     ) * scale
-    valid = jnp.arange(kk, dtype=jnp.int32)[None, None, None, :] < context_lens[:, None, None, None]
+    key_pos = jnp.arange(kk, dtype=jnp.int32)[None, None, None, :]
+    valid = key_pos < context_lens[:, None, None, None]
+    if lo is not None:
+        valid &= key_pos >= lo[:, None, None, None]
     s = jnp.where(valid, s, _NEG_INF)
     m = jnp.max(s, axis=-1)  # [B, nkv, g]
     p = jnp.exp(s - m[..., None])
@@ -297,6 +313,7 @@ def paged_attention_dense(
     block_size: int,
     scale: float,
     kv_scales=None,
+    window: int | None = None,
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
     nkv = k_pool.shape[1] // hd
@@ -318,6 +335,8 @@ def paged_attention_dense(
     key_pos = jnp.arange(kk, dtype=jnp.int32)
     valid = key_pos[None, :] < context_lens[:, None]  # [B, K]
     causal = key_pos[None, None, :] <= positions[:, :, None]  # [B, Tq, K]
+    if window is not None:  # sliding window: keys within [pos-W+1, pos]
+        causal &= key_pos[None, None, :] > positions[:, :, None] - window
     mask = (valid[:, None, :] & causal)[:, None, None, :, :]  # [B,1,1,Tq,K]
 
     scores = jnp.where(mask, scores, _NEG_INF)

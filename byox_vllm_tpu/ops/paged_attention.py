@@ -602,6 +602,7 @@ def _decode_kernel_v3(
     has_tail: bool,
     sb: int,  # sequences per grid step
     store: bool = False,  # fused KV-store: DMA the new rows into the pools
+    window: int | None = None,  # sliding-window attention band
 ):
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
@@ -639,6 +640,16 @@ def _decode_kernel_v3(
         ctx = context_lens_ref[i]
         return jnp.clip(pl.cdiv(ctx, block_size), 0, num_table_pages)
 
+    def tail_off():
+        # the query sits tail_len positions past the pool contents
+        return (tail_len_ref[0] + 1) if has_tail else 0
+
+    def first_window_page(i):
+        # sliding window: pages wholly below the attention floor skip their
+        # DMA entirely (their columns are band-masked anyway)
+        qend = context_lens_ref[i] + tail_off()
+        return jnp.maximum(qend - window, 0) // block_size
+
     def page_copies(gi_, cc, slot, s_i, j):
         i = gi_ * sb + s_i
         page = block_tables_ref[i, cc * ppc + j]
@@ -654,20 +665,25 @@ def _decode_kernel_v3(
             for idx, (src, dst) in enumerate(pairs)
         ]
 
+    def fetch_gate(gi_, cc, s_i, j):
+        n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
+        ok = j < n_valid
+        if window is not None:
+            ok &= j + cc * ppc >= first_window_page(gi_ * sb + s_i)
+        return ok
+
     def start_fetch(gi_, cc, slot):
         for s_i in range(sb):
-            n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
             for j in range(ppc):
-                @pl.when(j < n_valid)
+                @pl.when(fetch_gate(gi_, cc, s_i, j))
                 def _():
                     for cp in page_copies(gi_, cc, slot, s_i, j):
                         cp.start()
 
     def wait_fetch(gi_, cc, slot):
         for s_i in range(sb):
-            n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
             for j in range(ppc):
-                @pl.when(j < n_valid)
+                @pl.when(fetch_gate(gi_, cc, s_i, j))
                 def _():
                     for cp in page_copies(gi_, cc, slot, s_i, j):
                         cp.wait()
@@ -785,7 +801,11 @@ def _decode_kernel_v3(
             v = vbuf[slot, rows, :].astype(cdt)
             # zero unfetched V rows (NaN x 0 = NaN through the PV matmul)
             vrow = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
-            v = jnp.where(vrow < local[s_i], v, 0.0)
+            v_ok = vrow < local[s_i]
+            if window is not None:
+                # rows below the window floor were never DMA'd: zero them too
+                v_ok &= vrow >= local[s_i] + tail_off() - window
+            v = jnp.where(v_ok, v, 0.0)
 
             q = q_ref[s_i].astype(jnp.float32)  # [nh, hd]
             qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
@@ -794,6 +814,8 @@ def _decode_kernel_v3(
             ) * scale  # [nh, span]
             col = jax.lax.broadcasted_iota(jnp.int32, (nh, span), 1)
             valid = col < local[s_i]
+            if window is not None:  # band mask: keys within [qpos-W+1, qpos]
+                valid &= col >= local[s_i] + tail_off() - window
             vs_heads = None
             if quantized:
                 sc = scbuf[slot, rows, :].astype(cdt)  # [span, 128]
@@ -843,7 +865,9 @@ def _decode_kernel_v3(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step"),
+    static_argnames=(
+        "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step", "window"
+    ),
 )
 def paged_decode_attention_v3(
     q: jnp.ndarray,  # [B, nh, hd]
@@ -865,6 +889,7 @@ def paged_decode_attention_v3(
     k_store=None,  # [B, F] pool-dtype new rows (pre-quantized when int8)
     v_store=None,
     sc_store=None,  # [B, SCALE_LANES] bf16 scale rows (int8 pools)
+    window: int | None = None,  # sliding-window attention (band mask + DMA skip)
 ):
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -986,7 +1011,11 @@ def paged_decode_attention_v3(
         has_tail=has_tail,
         sb=sb,
         store=store,
+        window=window,
     )
+    if window is not None and has_tail:
+        # tail rows are the newest positions: they must sit inside the window
+        assert window > k_tail.shape[1], (window, k_tail.shape)
     result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
