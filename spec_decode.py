@@ -5,9 +5,11 @@ speculative decoding and prints the acceptance metrics surface the reference
 demonstrates against real vLLM (vllm_ngram.py:70-104): drafts, draft tokens,
 accepted tokens, per-position acceptance rate, mean acceptance length.
 
-Methods: ngram (default) or draft_model (BYOX_SPEC_METHOD=draft_model, with
-BYOX_DRAFT_MODEL=<path> naming the drafter checkpoint — the Eagle/Medusa-
-class small-drafter mechanism).
+Methods (BYOX_SPEC_METHOD): ngram (default), draft_model (independent small
+drafter, BYOX_DRAFT_MODEL=<path> names its checkpoint), or eagle (true
+feature-level drafting: the drafter consumes the target's hidden states;
+random drafter weights unless injected — real acceptance needs a trained
+EAGLE head).
 
 Without a checkpoint (zero-egress environment) it runs the Qwen3-0.6B
 geometry with random weights on repetitive token-id prompts (ngram-friendly);
@@ -38,6 +40,8 @@ def main():
                 "tie_word_embeddings": True, "attention_bias": False,
                 "max_position_embeddings": 40960,
             }
+    elif method == "eagle":
+        spec_cfg = {"method": "eagle", "num_speculative_tokens": 4, "draft_num_layers": 1}
     else:
         spec_cfg = {
             "method": "ngram",
