@@ -167,6 +167,8 @@ class BlockManager:
 
     def deallocate(self, seq: Sequence) -> None:
         for block_id in reversed(seq.block_table):
+            if block_id < 0:
+                continue  # released early (sliding window)
             block = self.blocks[block_id]
             block.ref_count -= 1
             if block.ref_count == 0:
@@ -174,6 +176,27 @@ class BlockManager:
         seq.num_cached_tokens = 0
         seq.num_computed_tokens = 0
         seq.block_table.clear()
+
+    def release_below_window(self, seq: Sequence, window: int) -> None:
+        """Sliding-window models: blocks wholly below the attention floor can
+        never be read again (every future query's band starts at
+        len - window, which only moves forward; preemption recompute also
+        attends the band only). Release them back to the pool and mark the
+        table entries -1 — attention treats negative entries as padding, and
+        the v3 kernel never even DMAs below-floor pages. Freed blocks keep
+        their hash + tokens, so a later request sharing the prefix can still
+        resurrect them (standard free-list semantics above)."""
+        freeable = (len(seq) - window) // self.block_size
+        table = seq.block_table
+        for i in range(min(freeable, len(table))):
+            bid = table[i]
+            if bid < 0:
+                continue
+            table[i] = -1
+            block = self.blocks[bid]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._release_block(block)
 
     def may_append(self, seq: Sequence, num_tokens: int = 1) -> None:
         """Called once per scheduled decode call, before the model runs:
@@ -185,6 +208,8 @@ class BlockManager:
         block_table = seq.block_table
         num_full = len(seq) // self.block_size
         for i in range(num_full):
+            if block_table[i] < 0:
+                continue  # released early (sliding window)
             block = self.blocks[block_table[i]]
             if block.hash != -1:
                 continue

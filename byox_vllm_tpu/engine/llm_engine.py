@@ -71,7 +71,15 @@ class LLMEngine:
                 raise AssertionError(f"unsupported speculative method {sc.method!r}")
             self.spec_metrics = SpecMetrics()
             lookahead = sc.num_speculative_tokens + 1
-        self.scheduler = make_scheduler(config, decode_lookahead=lookahead)
+        # KV blocks below the sliding-window floor are releasable only when
+        # EVERY layer is windowed (Qwen2 keeps lower layers full-attention)
+        mspec = self.model_runner.spec
+        free_window = (
+            mspec.sliding_window
+            if getattr(mspec, "sliding_window", None) and mspec.first_window_layer == 0
+            else None
+        )
+        self.scheduler = make_scheduler(config, decode_lookahead=lookahead, free_window=free_window)
         self._stats = {"prefill_tok_s": 0.0, "decode_tok_s": 0.0}
         self.metrics = EngineMetrics()
         # async pipelined decode state: the window currently in flight —

@@ -42,7 +42,11 @@ def _bucket(n: int, lo: int, hi: int) -> int:
 
 
 class Scheduler:
-    def __init__(self, config: Config, decode_lookahead: int = 1):
+    def __init__(self, config: Config, decode_lookahead: int = 1, free_window: int | None = None):
+        # sliding-window models (ALL layers windowed): KV blocks wholly below
+        # the attention floor are released as generation advances, bounding
+        # KV per sequence at ~window tokens regardless of length
+        self.free_window = free_window
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.max_model_len = config.max_model_len
@@ -213,6 +217,8 @@ class Scheduler:
                 appended += 1
                 if self._check_finished(seq, token_id, defer_dealloc):
                     break
+            if self.free_window is not None and not seq.is_finished:
+                self.block_manager.release_below_window(seq, self.free_window)
         return appended
 
     def release_deferred(self, seq: Sequence) -> None:
@@ -269,7 +275,7 @@ class DataParallelScheduler:
     shard_map's contiguous row split lands each lane on its shard.
     """
 
-    def __init__(self, config: Config, decode_lookahead: int = 1):
+    def __init__(self, config: Config, decode_lookahead: int = 1, free_window: int | None = None):
         from dataclasses import replace
 
         self.dp = config.data_parallel_size
@@ -279,12 +285,22 @@ class DataParallelScheduler:
         # rows into the next lane's data shard — silent KV corruption); the
         # token budget splits likewise so the global padded-batch invariant
         # (rows x tokens <= budget) holds across the concatenated lanes.
+        lane_budget = -(-config.max_num_batched_tokens // self.dp)
+        # floors: a lane budget below one KV block would round every
+        # mid-prompt chunk to zero tokens (livelock), and without chunked
+        # prefill a lane must still admit a max_model_len prompt whole
+        lane_budget = max(lane_budget, config.kvcache_block_size)
+        if not config.enable_chunked_prefill:
+            lane_budget = max(lane_budget, config.max_model_len)
         lane_config = replace(
             config,
             max_num_seqs=-(-config.max_num_seqs // self.dp),
-            max_num_batched_tokens=-(-config.max_num_batched_tokens // self.dp),
+            max_num_batched_tokens=lane_budget,
         )
-        self.lanes = [Scheduler(lane_config, decode_lookahead) for _ in range(self.dp)]
+        self.lanes = [
+            Scheduler(lane_config, decode_lookahead, free_window=free_window)
+            for _ in range(self.dp)
+        ]
         self.last_lookahead = 1
         self._next_lane = 0
 
@@ -344,7 +360,7 @@ class DataParallelScheduler:
         self.lanes[seq.dp_shard].release_deferred(seq)
 
 
-def make_scheduler(config: Config, decode_lookahead: int = 1):
+def make_scheduler(config: Config, decode_lookahead: int = 1, free_window: int | None = None):
     if config.data_parallel_size > 1:
-        return DataParallelScheduler(config, decode_lookahead)
-    return Scheduler(config, decode_lookahead)
+        return DataParallelScheduler(config, decode_lookahead, free_window=free_window)
+    return Scheduler(config, decode_lookahead, free_window=free_window)

@@ -176,7 +176,10 @@ class Qwen3Spec:
     norm_topk_prob: bool = True
     # Sliding-window attention (Mistral; Qwen2 when use_sliding_window):
     # each query attends to at most the last `sliding_window` positions.
+    # Layers below `first_window_layer` use FULL attention (HF Qwen2
+    # semantics: only layers >= max_window_layers are windowed).
     sliding_window: int | None = None
+    first_window_layer: int = 0
 
     @classmethod
     def from_hf_config(cls, hf, qk_norm: bool = True, attention_bias: bool | None = None) -> "Qwen3Spec":
@@ -215,6 +218,7 @@ class Qwen3Spec:
                 if get("use_sliding_window", True) is not False
                 else None
             ),
+            first_window_layer=get("max_window_layers", 0) or 0,
         )
 
     @property
@@ -352,6 +356,12 @@ def forward(
     new_kv = []
     for i in range(spec.num_layers):
         lp = {name: _slice_layer(w, i) for name, w in layers.items()}
+        # HF Qwen2 windows only layers >= max_window_layers; Mistral all
+        layer_window = (
+            spec.sliding_window
+            if spec.sliding_window is not None and i >= spec.first_window_layer
+            else None
+        )
         x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
         qkv = _linear(x, lp["wqkv"], spec.quant_bits, spec.act_bits)
         if "bqkv" in lp:
@@ -391,7 +401,7 @@ def forward(
                 q[:, 0], lay[0], lay[1], block_tables, pool_ctx,
                 k_tail, v_tail, tail_index, block_size, scale,
                 kv_scales=kv_scales, backend=attention_backend,
-                window=spec.sliding_window,
+                window=layer_window,
             )[:, None]
         elif tq == 1 and fused_store:
             # decode: fused store-and-attend (the kernel writes the new
@@ -401,7 +411,7 @@ def forward(
             o, lay = decode_attention_store(
                 q[:, 0], kv_cache[i], block_tables, context_lens,
                 k_flat, v_flat, flat_slots, block_size, scale,
-                backend=attention_backend, window=spec.sliding_window,
+                backend=attention_backend, window=layer_window,
             )
             o = o[:, None]
             new_kv.append(lay)
@@ -433,7 +443,7 @@ def forward(
                 kv_scales = None
             o = attend(
                 q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
-                kv_scales=kv_scales, window=spec.sliding_window,
+                kv_scales=kv_scales, window=layer_window,
             )
         o = o.reshape(b, tq, spec.q_size)
         attn_out = _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)

@@ -230,7 +230,12 @@ def decode_attention_with_tail(
     qg = q.reshape(b, nkv, group, hd).astype(jnp.float32)
     kt = k_tail.astype(jnp.float32)  # [B, T, nkv, hd]
     s = jnp.einsum("bkgd,btkd->bkgt", qg, kt, preferred_element_type=jnp.float32) * scale
-    mask = jnp.arange(t_max, dtype=jnp.int32)[None, None, None, :] <= tail_index
+    t_pos = jnp.arange(t_max, dtype=jnp.int32)[None, None, None, :]
+    mask = t_pos <= tail_index
+    if window is not None:
+        # tail row t sits tail_index - t positions behind the query: rows
+        # older than the window must mask out too
+        mask &= t_pos > tail_index - window
     s = jnp.where(mask, s, _NEG_INF)
     m_t = jnp.max(s, axis=-1)  # [B, nkv, g]
     p = jnp.exp(s - m_t[..., None])

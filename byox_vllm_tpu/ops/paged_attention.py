@@ -1014,8 +1014,11 @@ def paged_decode_attention_v3(
         window=window,
     )
     if window is not None and has_tail:
-        # tail rows are the newest positions: they must sit inside the window
-        assert window > k_tail.shape[1], (window, k_tail.shape)
+        # tail rows are the newest positions: the oldest attended tail row is
+        # tail_index <= t_max - 1 <= window - 1 behind the query, so
+        # window >= t_max keeps every tail row inside the band (the kernel's
+        # tail chunk applies no window mask)
+        assert window >= k_tail.shape[1], (window, k_tail.shape)
     result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

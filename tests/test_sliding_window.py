@@ -102,3 +102,168 @@ def test_decode_kernel_window_matches_dense():
         (ctx - 1)[:, None], bs, scale, window=window,
     )[:, 0]
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_qwen2_max_window_layers_parity(tmp_path_factory):
+    """HF windows only layers >= max_window_layers; lower layers use full
+    attention. A 2-layer Qwen2 with max_window_layers=1 must match HF
+    past the window."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        use_sliding_window=True, sliding_window=WINDOW, max_window_layers=1,
+        tie_word_embeddings=False,
+    )
+    model = Qwen2ForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if name.endswith(".bias"):
+                p.normal_(std=0.5)
+    path = tmp_path_factory.mktemp("tiny_qwen2_sw")
+    model.save_pretrained(path, safe_serialization=True)
+
+    from byox_vllm_tpu.models import get_model
+
+    spec = get_model("qwen2").spec_from_hf(cfg)
+    assert spec.sliding_window == WINDOW and spec.first_window_layer == 1
+
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    llm = LLM(
+        str(path), dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=BS,
+    )
+    prompt = [3, 17, 99, 14, 7, 25, 31, 8, 77, 123, 9, 4, 55, 60, 71, 2, 90, 18]
+    out = llm.generate([prompt], SamplingParams(temperature=0.0, max_tokens=10), use_tqdm=False)
+    with torch.no_grad():
+        ref = model.generate(
+            torch.tensor([prompt]), max_new_tokens=10, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    assert out[0]["token_ids"] == ref
+
+
+def test_dp_tiny_budget_no_livelock():
+    """Lane budgets floor at one KV block — a per-lane budget that rounds
+    chunks to zero tokens used to livelock prefill forever."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 128, "hidden_size": 64,
+           "intermediate_size": 128, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    llm = LLM(hf_config=cfg, dtype="float32", max_model_len=64,
+              max_num_batched_tokens=16, num_kvcache_blocks=32,
+              kvcache_block_size=16, data_parallel_size=2)
+    out = llm.generate(
+        [list(range(1, 21))],
+        __import__("byox_vllm_tpu").SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert len(out[0]["token_ids"]) == 4
+
+    # non-chunked config that was valid pre-DP-split must still construct
+    llm2 = LLM(hf_config=cfg, dtype="float32", max_model_len=64,
+               max_num_batched_tokens=64, num_kvcache_blocks=32,
+               kvcache_block_size=16, data_parallel_size=2,
+               enable_chunked_prefill=False)
+    out2 = llm2.generate(
+        [[1, 2, 3]],
+        __import__("byox_vllm_tpu").SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert len(out2[0]["token_ids"]) == 3
+
+
+def test_with_tail_dense_masks_old_tail_rows():
+    """decode_attention_with_tail (dense merge): tail rows older than the
+    window must mask out — reference = dense paged attention over a pool
+    holding the same tokens."""
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.ops.attention import decode_attention_with_tail, paged_attention_dense
+
+    rng = np.random.default_rng(0)
+    b, nh, nkv, hd, bs = 2, 4, 2, 32, 16
+    pool_ctx = np.array([20, 9], np.int32)
+    t_max, tail_index, window = 8, 7, 4  # tail rows 0..3 fall outside
+    w = 4
+    num_blocks = b * w
+    k_pool = np.zeros((num_blocks * bs, nkv * hd), np.float32)
+    v_pool = np.zeros((num_blocks * bs, nkv * hd), np.float32)
+    tables = (np.arange(b)[:, None] * w + np.arange(w)[None, :]).astype(np.int32)
+    k_tail = rng.normal(size=(b, t_max, nkv, hd)).astype(np.float32)
+    v_tail = rng.normal(size=(b, t_max, nkv, hd)).astype(np.float32)
+    q = rng.normal(size=(b, nh, hd)).astype(np.float32)
+    for i in range(b):
+        rows = rng.normal(size=(pool_ctx[i], nkv * hd)).astype(np.float32)
+        vrows = rng.normal(size=(pool_ctx[i], nkv * hd)).astype(np.float32)
+        base = i * w * bs
+        k_pool[base : base + pool_ctx[i]] = rows
+        v_pool[base : base + pool_ctx[i]] = vrows
+    scale = hd**-0.5
+
+    out = decode_attention_with_tail(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(tables), jnp.asarray(pool_ctx),
+        jnp.asarray(k_tail), jnp.asarray(v_tail), jnp.int32(tail_index),
+        bs, scale, backend="dense", window=window,
+    )
+
+    # reference: materialize tail rows into the pool and run windowed dense
+    k_ref, v_ref = k_pool.copy(), v_pool.copy()
+    for i in range(b):
+        base = i * w * bs
+        k_ref[base + pool_ctx[i] : base + pool_ctx[i] + tail_index + 1] = (
+            k_tail[i, : tail_index + 1].reshape(tail_index + 1, -1)
+        )
+        v_ref[base + pool_ctx[i] : base + pool_ctx[i] + tail_index + 1] = (
+            v_tail[i, : tail_index + 1].reshape(tail_index + 1, -1)
+        )
+    full_ctx = pool_ctx + tail_index + 1
+    ref = paged_attention_dense(
+        jnp.asarray(q)[:, None], jnp.asarray(k_ref), jnp.asarray(v_ref),
+        jnp.asarray(tables), jnp.asarray(full_ctx), (full_ctx - 1)[:, None],
+        bs, scale, window=window,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_window_kv_blocks_freed_during_generation(tiny_mistral_sw):
+    """All-layers-windowed models release KV blocks below the attention
+    floor while generating: per-sequence KV is bounded at ~window tokens
+    and outputs still match HF."""
+    model, path = tiny_mistral_sw
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    llm = LLM(
+        path, dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=64, kvcache_block_size=BS, async_decode=False,
+        num_decode_steps=1,
+    )
+    assert llm.scheduler.free_window == WINDOW
+    prompt = list(range(1, 25))  # 24 tokens
+    seq = llm.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True))
+    free0 = llm.scheduler.block_manager.num_free_blocks
+    saw_freed = False
+    while not llm.is_finished():
+        llm.step()
+        if seq.block_table and seq.block_table[0] == -1:
+            saw_freed = True
+    assert saw_freed, "no block was released below the window floor"
+    assert llm.scheduler.block_manager.num_free_blocks == free0  # all returned
+    with torch.no_grad():
+        ref = model.generate(
+            torch.tensor([prompt]), max_new_tokens=40, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    assert seq.completion_token_ids == ref
