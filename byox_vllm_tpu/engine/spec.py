@@ -118,15 +118,34 @@ class EagleProposer:
 
         self.k = spec_config.num_speculative_tokens
         self.target = target_runner
-        self.spec = draft_spec(target_runner.spec, spec_config.draft_num_layers)
         dtype = jnp.dtype(target_config.dtype)
         if spec_config.draft_params is not None:  # injected (tests)
             self.params = spec_config.draft_params
+        elif spec_config.model:  # trained drafter pack (tools/eagle_pack.py)
+            import os
+
+            from byox_vllm_tpu.tools.eagle_pack import load_eagle_pack
+
+            pack = spec_config.model
+            if os.path.isdir(pack):
+                pack = os.path.join(pack, "eagle.safetensors")
+            self.params = load_eagle_pack(pack, target_runner.params, dtype)
         else:
             self.params = init_eagle_params(
                 target_runner.params, target_runner.spec,
                 spec_config.draft_num_layers, dtype, seed=target_config.seed,
             )
+        # drafter geometry follows the loaded/injected trunk, not the config
+        trunk = self.params["layers"]
+        first = next(iter(trunk.values()))
+        n_draft = len(first) if isinstance(first, list) else first.shape[0]
+        from dataclasses import replace as _replace
+
+        self.spec = _replace(
+            draft_spec(target_runner.spec, n_draft),
+            qk_norm="q_norm" in trunk,
+            attention_bias="bqkv" in trunk,
+        )
         self.kv = make_kv_cache(self.spec, target_runner.num_slots, dtype)
         from functools import partial
 

@@ -179,3 +179,70 @@ def test_eagle_with_chunked_prefill(one_layer_target):
     assert plain[0]["token_ids"] == out[0]["token_ids"]
     m = eagle.spec_metrics.summary()
     assert m["draft_acceptance_rate"] == 1.0, m
+
+
+def test_eagle_pack_roundtrip(one_layer_target, tmp_path):
+    """save_eagle_pack -> SpeculativeConfig(model=pack): the reloaded
+    target-replica drafter still reaches acceptance 1.0."""
+    _, path = one_layer_target
+    from byox_vllm_tpu.sampling_params import SamplingParams
+    from byox_vllm_tpu.tools.eagle_pack import save_eagle_pack
+
+    builder = _make_llm(path, {"method": "eagle", "num_speculative_tokens": 3})
+    pack = str(tmp_path / "eagle.safetensors")
+    save_eagle_pack(_target_replica_drafter(builder), pack)
+    del builder
+
+    prompts = [list(range(10, 30))]
+    sp = SamplingParams(temperature=0.0, max_tokens=12)
+    plain = _make_llm(path).generate(prompts, sp, use_tqdm=False)
+    eagle = _make_llm(
+        path, {"method": "eagle", "num_speculative_tokens": 3, "model": pack}
+    )
+    out = eagle.generate(prompts, sp, use_tqdm=False)
+    assert plain[0]["token_ids"] == out[0]["token_ids"]
+    assert eagle.spec_metrics.summary()["draft_acceptance_rate"] == 1.0
+
+
+def test_convert_hf_eagle_layout(tmp_path):
+    """convert_hf_eagle maps an official-layout EAGLE head (torch fc.weight
+    [D, 2D] with [hidden; embed] input order, Llama-style layers) into our
+    pack, swapping the fc input halves to [embed; hidden]."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from byox_vllm_tpu.tools.eagle_pack import convert_hf_eagle
+
+    d, inter, nh, nkv, hd = 8, 16, 2, 1, 4
+    rng = np.random.default_rng(0)
+    t = lambda *s: rng.normal(size=s).astype(np.float32)
+    fc_torch = t(d, 2 * d)  # torch [out, in], in = [hidden ; embed]
+    raw = {
+        "fc.weight": fc_torch,
+        "layers.0.input_layernorm.weight": t(d),
+        "layers.0.self_attn.q_proj.weight": t(nh * hd, d),
+        "layers.0.self_attn.k_proj.weight": t(nkv * hd, d),
+        "layers.0.self_attn.v_proj.weight": t(nkv * hd, d),
+        "layers.0.self_attn.o_proj.weight": t(d, nh * hd),
+        "layers.0.post_attention_layernorm.weight": t(d),
+        "layers.0.mlp.gate_proj.weight": t(inter, d),
+        "layers.0.mlp.up_proj.weight": t(inter, d),
+        "layers.0.mlp.down_proj.weight": t(d, inter),
+    }
+    hf_dir = tmp_path / "hf_eagle"
+    hf_dir.mkdir()
+    save_file(raw, str(hf_dir / "model.safetensors"))
+    out = str(tmp_path / "pack.safetensors")
+    convert_hf_eagle(str(hf_dir), out, dtype=np.float32)
+
+    from safetensors import safe_open
+
+    with safe_open(out, framework="numpy") as f:
+        fc = f.get_tensor("fc")
+        wqkv = f.get_tensor("layers.wqkv")
+    assert fc.shape == (2 * d, d)
+    # our input order is [embed; hidden]: the embed rows are torch fc's
+    # SECOND input half (columns d: of fc.weight -> rows of fc.weight.T)
+    np.testing.assert_allclose(fc[:d], fc_torch.T[d:], rtol=1e-6)
+    np.testing.assert_allclose(fc[d:], fc_torch.T[:d], rtol=1e-6)
+    assert wqkv.shape == (1, d, (nh + 2 * nkv) * hd)
