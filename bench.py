@@ -151,8 +151,10 @@ def _workload(num_seqs: int, seed: int = 0):
 
 def _kv_gb_per_1k_seqs(llm) -> float:
     """North-star gate: KV bytes to hold 1000 sequences at max_model_len."""
+    import jax
+
     runner = llm.model_runner
-    kv_bytes = sum(x.nbytes for lay in runner.kv_cache for x in lay)
+    kv_bytes = sum(x.nbytes for x in jax.tree.leaves(runner.kv_cache))
     per_token = kv_bytes / max(runner.num_slots, 1)
     return round(per_token * llm.config.max_model_len * 1000 / 1e9, 3)
 

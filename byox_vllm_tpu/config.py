@@ -30,6 +30,10 @@ class Config:
     gpu_memory_utilization: float = 0.9
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # Pipeline parallelism: the layer stack shards across a 'stage' mesh
+    # axis (models/pp.py) — memory scaling (models pp x larger than one
+    # chip group); sequential hand-off, no microbatch overlap yet.
+    pipeline_parallel_size: int = 1
     # The reference's enforce_eager disables CUDA-graph capture
     # (nanovllm/engine/model_runner.py:37-38). XLA has no eager escape hatch,
     # so the TPU analogue is the maximally-simple execution path: dense
@@ -80,6 +84,7 @@ class Config:
         assert self.kvcache_block_size % 16 == 0, "TPU KV pages must be a multiple of 16 tokens"
         assert self.tensor_parallel_size >= 1
         assert self.data_parallel_size >= 1
+        assert self.pipeline_parallel_size >= 1
         max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
         self.max_model_len = min(self.max_model_len, max_pos)
         if not self.enable_chunked_prefill:

@@ -139,7 +139,9 @@ class ModelRunner:
         _enable_compilation_cache()
         hf = config.hf_config
         self.mesh = mesh if mesh is not None else make_mesh(
-            config.tensor_parallel_size, config.data_parallel_size
+            config.tensor_parallel_size,
+            config.data_parallel_size,
+            config.pipeline_parallel_size,
         )
         model_cls = get_model(getattr(hf, "model_type", "qwen3"))
         self.spec = model_cls.spec_from_hf(hf)
@@ -191,6 +193,13 @@ class ModelRunner:
             params = model_cls.init_params(self.spec, self.dtype, seed=config.seed)
         self.tp = config.tensor_parallel_size
         self.dp = config.data_parallel_size
+        self.pp = config.pipeline_parallel_size
+        if self.pp > 1:
+            assert self.spec.num_layers % self.pp == 0, (self.spec.num_layers, self.pp)
+            assert config.speculative_config is None, "pp + speculative decoding TBD"
+            assert not config.window_staged_decode and not config.fused_decode_store, (
+                "pp supports the standard KV store path only"
+            )
         if self.tp > 1:
             # shard_map TP: fused projection columns must be grouped per
             # shard (parallel/tp.py) BEFORE the mesh placement
@@ -200,15 +209,18 @@ class ModelRunner:
                 params["layers"], self.spec, self.tp
             )
             params = jax.tree.map(jnp.asarray, params)
-        self.params = shard_params(params, self.mesh)
-        # stacked [L, ...] -> per-layer lists: a stacked slice feeding a
-        # Pallas custom-call (quantized matmul) is materialized as a copy
-        # every step, tripling weight traffic (models/qwen3.py docstring)
-        from byox_vllm_tpu.models.qwen3 import unstack_layer_params
+        self.params = shard_params(params, self.mesh, pp=self.pp)
+        if self.pp == 1:
+            # stacked [L, ...] -> per-layer lists: a stacked slice feeding a
+            # Pallas custom-call (quantized matmul) is materialized as a copy
+            # every step, tripling weight traffic (models/qwen3.py docstring).
+            # pp keeps layers STACKED — per-layer lists cannot shard across
+            # the stage axis (known quantized-weights perf caveat under pp).
+            from byox_vllm_tpu.models.qwen3 import unstack_layer_params
 
-        self.params["layers"] = unstack_layer_params(
-            self.params["layers"], self.spec.num_layers
-        )
+            self.params["layers"] = unstack_layer_params(
+                self.params["layers"], self.spec.num_layers
+            )
 
         # --- KV pool sizing & allocation --------------------------------
         if config.num_kvcache_blocks <= 0:
@@ -218,18 +230,35 @@ class ModelRunner:
         assert config.kv_cache_dtype in ("auto", "int8"), config.kv_cache_dtype
         from jax.sharding import NamedSharding
 
-        kv_sharding = NamedSharding(self.mesh, kv_cache_spec())
+        from jax.sharding import PartitionSpec as _P
+
         from byox_vllm_tpu.models.qwen3 import make_kv_cache
         from byox_vllm_tpu.parallel.distributed import put_global
 
         # +1 scratch block at the pool tail: the sentinel target for padded
         # prefill write-runs (ops/kv_cache.py::write_kv_runs); no block table
         # ever references it
-        self.kv_cache = jax.tree.map(
-            lambda x: put_global(x, kv_sharding),
-            make_kv_cache(self.spec, self.num_slots + self.block_size, kv_dtype, tp=self.tp),
-        )
-        kv_bytes = sum(x.nbytes for lay in self.kv_cache for x in lay)
+        if self.pp > 1:
+            # stage-shardable layout: stacked pools [L, slots, ...]
+            from byox_vllm_tpu.models.pp import make_kv_cache_stacked
+
+            self._kv_pspec = _P("stage", *kv_cache_spec())
+            kv_sharding = NamedSharding(self.mesh, self._kv_pspec)
+            self.kv_cache = jax.tree.map(
+                lambda x: put_global(x, kv_sharding),
+                make_kv_cache_stacked(
+                    self.spec, self.num_slots + self.block_size, kv_dtype, tp=self.tp
+                ),
+            )
+            kv_bytes = sum(x.nbytes for x in self.kv_cache)
+        else:
+            self._kv_pspec = kv_cache_spec()
+            kv_sharding = NamedSharding(self.mesh, self._kv_pspec)
+            self.kv_cache = jax.tree.map(
+                lambda x: put_global(x, kv_sharding),
+                make_kv_cache(self.spec, self.num_slots + self.block_size, kv_dtype, tp=self.tp),
+            )
+            kv_bytes = sum(x.nbytes for lay in self.kv_cache for x in lay)
         logger.info(
             "KV pool: %d blocks x %d tokens (%.2f GiB)",
             config.num_kvcache_blocks, self.block_size, kv_bytes / 1024**3,
@@ -252,14 +281,26 @@ class ModelRunner:
         else:
             run_model_spec = self.spec
             tp_kwargs = {}
+        if self.pp > 1:
+            # pipeline stages: the in-shard step runs L/pp layers and hands
+            # activations along the 'stage' axis (models/pp.py); the forward
+            # is signature-compatible so the step programs don't change
+            from dataclasses import replace as _replace
+
+            from byox_vllm_tpu.models.pp import forward_pp
+
+            run_model_spec = _replace(
+                run_model_spec, num_layers=self.spec.num_layers // self.pp
+            )
+            self.forward_fn = partial(forward_pp, num_stages=self.pp)
         # Eagle feature-level drafting: the target's post-final-norm hidden
         # states ride along as an extra program output for the drafter
         sc = config.speculative_config
         self.capture_hidden = bool(sc is not None and getattr(sc, "method", None) == "eagle")
         self.last_hidden = None  # (hidden [Bpad, T, D] device, row of each seq)
         if self.capture_hidden:
-            assert self.tp == 1 and self.dp == 1, (
-                "eagle speculative decoding currently requires tp == dp == 1"
+            assert self.tp == 1 and self.dp == 1 and self.pp == 1, (
+                "eagle speculative decoding currently requires tp == dp == pp == 1"
             )
         step_impl = partial(
             _model_step,
@@ -289,7 +330,7 @@ class ModelRunner:
             capture_hidden=self.capture_hidden,
             **tp_kwargs,
         )
-        if self.tp == 1 and self.dp == 1:
+        if self.tp == 1 and self.dp == 1 and self.pp == 1:
             self._step = jax.jit(step_impl, donate_argnums=(1,))
             self._decode = jax.jit(decode_impl, donate_argnums=(1,))
             self._spec_verify = jax.jit(verify_impl, donate_argnums=(1,))
@@ -302,8 +343,8 @@ class ModelRunner:
             self._tp_cache: dict = {}
             from jax.sharding import PartitionSpec as P
 
-            param_specs = qwen3_param_specs(self.params, self.mesh)
-            kv_specs = jax.tree.map(lambda _: kv_cache_spec(), self.kv_cache)
+            param_specs = qwen3_param_specs(self.params, self.mesh, pp=self.pp)
+            kv_specs = jax.tree.map(lambda _: self._kv_pspec, self.kv_cache)
             Dx = "data"
 
             def opt(spec_tuple, arg):
@@ -438,9 +479,15 @@ class ModelRunner:
             per_token_bytes = 2 * nkv_tp * self.spec.head_dim + 2 * SCALE_LANES
         else:
             per_token_bytes = 2 * nkv_tp * self.spec.head_dim * self.dtype.itemsize
-        kv_bytes_per_token = self.spec.num_layers * per_token_bytes
+        # per-DEVICE accounting: layers and weights divide across stages (pp)
+        layers_local = self.spec.num_layers // self.config.pipeline_parallel_size
+        kv_bytes_per_token = layers_local * per_token_bytes
         headroom = estimate_activation_bytes(self.spec, self.config)
-        budget = int(limit * self.config.gpu_memory_utilization) - weights // tp - headroom
+        budget = (
+            int(limit * self.config.gpu_memory_utilization)
+            - weights // (tp * self.config.pipeline_parallel_size)
+            - headroom
+        )
         logger.info(
             "HBM budget: limit %.2f GiB, weights %.2f GiB, activation headroom %.2f GiB",
             limit / 1024**3, weights / tp / 1024**3, headroom / 1024**3,

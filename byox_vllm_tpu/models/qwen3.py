@@ -293,6 +293,127 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
     return params
 
 
+def decoder_layer(
+    h: jnp.ndarray,  # [B, Tq, D]
+    lp: dict,  # this layer's parameters
+    kv_layer,  # (k_pool, v_pool[, kv_scale]) for this layer
+    *,
+    spec: "Qwen3Spec",
+    block_size: int,
+    positions, cos, sin, flat_slots, scale, attend, context_lens, block_tables,
+    layer_window: int | None = None,
+    decode_tail=None,
+    tail_index=None,
+    write_runs=None,
+    fused_store: bool = False,
+    tp_axis: str | None = None,
+    attention_backend: str = "auto",
+):
+    """One decoder layer: pre-norm attention (paged KV write + read in one of
+    three store modes) then pre-norm MLP (dense SiLU or routed MoE). Factored
+    out of ``forward`` so pipeline parallelism (models/pp.py) runs a stage's
+    layer group through the identical code. Returns (h, new_kv_layer)."""
+    b, tq = h.shape[:2]
+    x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
+    qkv = _linear(x, lp["wqkv"], spec.quant_bits, spec.act_bits)
+    if "bqkv" in lp:
+        qkv = qkv + lp["bqkv"]
+    q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
+    q = q.reshape(b, tq, spec.num_heads, spec.head_dim)
+    k = k.reshape(b, tq, spec.num_kv_heads, spec.head_dim)
+    v = v.reshape(b, tq, spec.num_kv_heads, spec.head_dim)
+    if spec.qk_norm:
+        q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    k_flat = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
+    v_flat = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
+    if decode_tail is not None:
+        # window-staged decode (Tq == 1): new K/V go to the bf16 tail
+        # buffer, the pool stays read-only; the scatter happens once per
+        # window in the caller (engine/model_runner._multi_decode_step)
+        from byox_vllm_tpu.ops.attention import decode_attention_with_tail
+
+        k_tail, v_tail = decode_tail
+        k_tail = jax.lax.dynamic_update_slice(
+            k_tail, k_flat[:, None].astype(k_tail.dtype), (0, tail_index, 0, 0)
+        )
+        v_tail = jax.lax.dynamic_update_slice(
+            v_tail, v_flat[:, None].astype(v_tail.dtype), (0, tail_index, 0, 0)
+        )
+        new_kv_layer = (k_tail, v_tail)
+        kv_scales = kv_layer[2] if len(kv_layer) == 3 else None
+        # pool holds exactly the pre-window tokens: context_lens counts
+        # prefix + tail_index + 1 (the current token rides the tail)
+        pool_ctx = context_lens - tail_index - 1
+        o = decode_attention_with_tail(
+            q[:, 0], kv_layer[0], kv_layer[1], block_tables, pool_ctx,
+            k_tail, v_tail, tail_index, block_size, scale,
+            kv_scales=kv_scales, backend=attention_backend,
+            window=layer_window,
+        )[:, None]
+    elif tq == 1 and fused_store:
+        # decode: fused store-and-attend (the kernel writes the new
+        # K/V rows into the aliased pools itself; no XLA scatter)
+        from byox_vllm_tpu.ops.attention import decode_attention_store
+
+        o, new_kv_layer = decode_attention_store(
+            q[:, 0], kv_layer, block_tables, context_lens,
+            k_flat, v_flat, flat_slots, block_size, scale,
+            backend=attention_backend, window=layer_window,
+        )
+        o = o[:, None]
+    else:
+        if len(kv_layer) == 3 and write_runs is not None:
+            # int8 prefill store on the block-DUS fast path
+            from byox_vllm_tpu.ops.kv_cache import write_kv_runs_quant
+
+            k_pool, v_pool, sc = write_kv_runs_quant(
+                *kv_layer, k_flat, v_flat,
+                write_runs[0], write_runs[1], block_size,
+            )
+            new_kv_layer = (k_pool, v_pool, sc)
+            kv_scales = sc
+        elif len(kv_layer) == 3:  # int8 KV + unified [S, 128] scale pool
+            k_pool, v_pool, sc = write_kv_quant(*kv_layer, k_flat, v_flat, flat_slots)
+            new_kv_layer = (k_pool, v_pool, sc)
+            kv_scales = sc
+        elif write_runs is not None:
+            k_pool, v_pool = write_kv_runs(
+                kv_layer[0], kv_layer[1], k_flat, v_flat,
+                write_runs[0], write_runs[1], block_size,
+            )
+            new_kv_layer = (k_pool, v_pool)
+            kv_scales = None
+        else:
+            k_pool, v_pool = write_kv(kv_layer[0], kv_layer[1], k_flat, v_flat, flat_slots)
+            new_kv_layer = (k_pool, v_pool)
+            kv_scales = None
+        o = attend(
+            q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+            kv_scales=kv_scales, window=layer_window,
+        )
+    o = o.reshape(b, tq, spec.q_size)
+    attn_out = _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)
+    if tp_axis is not None:  # row-parallel: sum the partial products
+        attn_out = jax.lax.psum(attn_out, tp_axis)
+    h = h + attn_out
+
+    x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
+    if spec.num_experts:
+        mlp_out = _moe_mlp(x, lp, spec, tp_axis=tp_axis)
+    else:
+        gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits, spec.act_bits)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        y = jax.nn.silu(gate) * up
+        mlp_out = _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
+    if tp_axis is not None:
+        mlp_out = jax.lax.psum(mlp_out, tp_axis)
+    return h + mlp_out, new_kv_layer
+
+
 def forward(
     params: dict,
     kv_cache: list,  # per layer: (k_pool, v_pool), each [S, nkv*hd]
@@ -362,107 +483,27 @@ def forward(
             if spec.sliding_window is not None and i >= spec.first_window_layer
             else None
         )
-        x = rms_norm(h, lp["attn_norm"], spec.rms_norm_eps)
-        qkv = _linear(x, lp["wqkv"], spec.quant_bits, spec.act_bits)
-        if "bqkv" in lp:
-            qkv = qkv + lp["bqkv"]
-        q, k, v = jnp.split(qkv, [spec.q_size, spec.q_size + spec.kv_size], axis=-1)
-        q = q.reshape(b, tq, spec.num_heads, spec.head_dim)
-        k = k.reshape(b, tq, spec.num_kv_heads, spec.head_dim)
-        v = v.reshape(b, tq, spec.num_kv_heads, spec.head_dim)
-        if spec.qk_norm:
-            q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
-            k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        h, kv_i = decoder_layer(
+            h, lp, kv_cache[i],
+            spec=spec, block_size=block_size, positions=positions, cos=cos,
+            sin=sin, flat_slots=flat_slots, scale=scale, attend=attend,
+            context_lens=context_lens, block_tables=block_tables,
+            layer_window=layer_window,
+            decode_tail=decode_tails[i] if decode_tails is not None else None,
+            tail_index=tail_index, write_runs=write_runs,
+            fused_store=fused_store, tp_axis=tp_axis,
+            attention_backend=attention_backend,
+        )
+        new_kv.append(kv_i)
 
-        k_flat = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
-        v_flat = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
-        if decode_tails is not None:
-            # window-staged decode (Tq == 1): new K/V go to the bf16 tail
-            # buffer, the pool stays read-only; the scatter happens once per
-            # window in the caller (engine/model_runner._multi_decode_step)
-            from byox_vllm_tpu.ops.attention import decode_attention_with_tail
+    return _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden), new_kv
 
-            k_tail, v_tail = decode_tails[i]
-            k_tail = jax.lax.dynamic_update_slice(
-                k_tail, k_flat[:, None].astype(k_tail.dtype), (0, tail_index, 0, 0)
-            )
-            v_tail = jax.lax.dynamic_update_slice(
-                v_tail, v_flat[:, None].astype(v_tail.dtype), (0, tail_index, 0, 0)
-            )
-            new_kv.append((k_tail, v_tail))
-            lay = kv_cache[i]
-            kv_scales = lay[2] if len(lay) == 3 else None
-            # pool holds exactly the pre-window tokens: context_lens counts
-            # prefix + tail_index + 1 (the current token rides the tail)
-            pool_ctx = context_lens - tail_index - 1
-            o = decode_attention_with_tail(
-                q[:, 0], lay[0], lay[1], block_tables, pool_ctx,
-                k_tail, v_tail, tail_index, block_size, scale,
-                kv_scales=kv_scales, backend=attention_backend,
-                window=layer_window,
-            )[:, None]
-        elif tq == 1 and fused_store:
-            # decode: fused store-and-attend (the kernel writes the new
-            # K/V rows into the aliased pools itself; no XLA scatter)
-            from byox_vllm_tpu.ops.attention import decode_attention_store
 
-            o, lay = decode_attention_store(
-                q[:, 0], kv_cache[i], block_tables, context_lens,
-                k_flat, v_flat, flat_slots, block_size, scale,
-                backend=attention_backend, window=layer_window,
-            )
-            o = o[:, None]
-            new_kv.append(lay)
-        else:
-            if len(kv_cache[i]) == 3 and write_runs is not None:
-                # int8 prefill store on the block-DUS fast path
-                from byox_vllm_tpu.ops.kv_cache import write_kv_runs_quant
-
-                k_pool, v_pool, sc = write_kv_runs_quant(
-                    *kv_cache[i], k_flat, v_flat,
-                    write_runs[0], write_runs[1], block_size,
-                )
-                new_kv.append((k_pool, v_pool, sc))
-                kv_scales = sc
-            elif len(kv_cache[i]) == 3:  # int8 KV + unified [S, 128] scale pool
-                k_pool, v_pool, sc = write_kv_quant(*kv_cache[i], k_flat, v_flat, flat_slots)
-                new_kv.append((k_pool, v_pool, sc))
-                kv_scales = sc
-            elif write_runs is not None:
-                k_pool, v_pool = write_kv_runs(
-                    kv_cache[i][0], kv_cache[i][1], k_flat, v_flat,
-                    write_runs[0], write_runs[1], block_size,
-                )
-                new_kv.append((k_pool, v_pool))
-                kv_scales = None
-            else:
-                k_pool, v_pool = write_kv(kv_cache[i][0], kv_cache[i][1], k_flat, v_flat, flat_slots)
-                new_kv.append((k_pool, v_pool))
-                kv_scales = None
-            o = attend(
-                q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
-                kv_scales=kv_scales, window=layer_window,
-            )
-        o = o.reshape(b, tq, spec.q_size)
-        attn_out = _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)
-        if tp_axis is not None:  # row-parallel: sum the partial products
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        h = h + attn_out
-
-        x = rms_norm(h, lp["mlp_norm"], spec.rms_norm_eps)
-        if spec.num_experts:
-            mlp_out = _moe_mlp(x, lp, spec, tp_axis=tp_axis)
-        else:
-            gate_up = _linear(x, lp["w_gate_up"], spec.quant_bits, spec.act_bits)
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            y = jax.nn.silu(gate) * up
-            mlp_out = _linear(y, lp["w_down"], spec.quant_bits, spec.act_bits)
-        if tp_axis is not None:
-            mlp_out = jax.lax.psum(mlp_out, tp_axis)
-        h = h + mlp_out
-
+def _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden):
+    """Final norm + LM head (+ last-token selection): logits [B, V] fp32, or
+    [B, Tq, V] with ``all_logits``; paired with the post-norm hidden states
+    when ``capture_hidden``. Shared by ``forward`` and pipeline-parallel
+    ``forward_pp`` (models/pp.py)."""
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed"])
 
@@ -481,13 +522,13 @@ def forward(
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
             logits = logits[..., : spec.vocab_size]
         if capture_hidden:
-            return (logits, h), new_kv
-        return logits, new_kv
+            return (logits, h)
+        return logits
     last_idx = jnp.maximum(q_lens - 1, 0)  # [B]
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # [B, D]
     if capture_hidden:
-        return (head(h_last), h), new_kv
-    return head(h_last), new_kv
+        return (head(h_last), h)
+    return head(h_last)
 
 
 def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16, tp: int = 1) -> list:

@@ -19,12 +19,23 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"  # pipeline stages (models/pp.py); present when pp > 1
 
 
-def make_mesh(tensor_parallel_size: int = 1, data_parallel_size: int = 1, devices=None) -> Mesh:
+def make_mesh(
+    tensor_parallel_size: int = 1,
+    data_parallel_size: int = 1,
+    pipeline_parallel_size: int = 1,
+    devices=None,
+) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    needed = tensor_parallel_size * data_parallel_size
+    needed = tensor_parallel_size * data_parallel_size * pipeline_parallel_size
     assert len(devices) >= needed, f"need {needed} devices, have {len(devices)}"
+    if pipeline_parallel_size > 1:
+        grid = np.array(devices[:needed]).reshape(
+            data_parallel_size, pipeline_parallel_size, tensor_parallel_size
+        )
+        return Mesh(grid, (DATA_AXIS, STAGE_AXIS, MODEL_AXIS))
     grid = np.array(devices[:needed]).reshape(data_parallel_size, tensor_parallel_size)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -22,24 +22,27 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from byox_vllm_tpu.parallel.mesh import DATA_AXIS as D, MODEL_AXIS as M
 
 
-def qwen3_param_specs(params: dict, mesh=None) -> dict:
+def qwen3_param_specs(params: dict, mesh=None, pp: int = 1) -> dict:
+    # pipeline parallelism: the stacked layer axis [L, ...] shards across
+    # 'stage' (models/pp.py); embed/final_norm/lm_head stay stage-replicated
+    St = "stage" if pp > 1 else None
     layer_specs = {
-        "attn_norm": P(None, None),
-        "wqkv": P(None, None, M),
-        "bqkv": P(None, M),
-        "q_norm": P(None, None),
-        "k_norm": P(None, None),
-        "wo": P(None, M, None),
-        "mlp_norm": P(None, None),
-        "w_gate_up": P(None, None, M),
-        "w_down": P(None, M, None),
+        "attn_norm": P(St, None),
+        "wqkv": P(St, None, M),
+        "bqkv": P(St, M),
+        "q_norm": P(St, None),
+        "k_norm": P(St, None),
+        "wo": P(St, M, None),
+        "mlp_norm": P(St, None),
+        "w_gate_up": P(St, None, M),
+        "w_down": P(St, M, None),
         # MoE (qwen3_moe): EXPERT-parallel — the expert dim rides 'model', so
         # each shard streams only E/tp experts' weights (weight traffic is
         # the decode bottleneck); the router stays replicated and non-local
         # assignments are weight-masked to zero before the MLP psum
-        "router": P(None, None, None),
-        "moe_gate_up": P(None, M, None, None),
-        "moe_down": P(None, M, None, None),
+        "router": P(St, None, None),
+        "moe_gate_up": P(St, M, None, None),
+        "moe_down": P(St, M, None, None),
     }
     def fit(spec, value):
         """Drop axes a leaf's dims can't be divided over (e.g. quantized
@@ -105,10 +108,10 @@ def batch_specs() -> dict:
     }
 
 
-def shard_params(params: dict, mesh) -> dict:
+def shard_params(params: dict, mesh, pp: int = 1) -> dict:
     from byox_vllm_tpu.parallel.distributed import put_global
 
-    specs = qwen3_param_specs(params, mesh)
+    specs = qwen3_param_specs(params, mesh, pp=pp)
     flat_p, treedef = jax.tree.flatten(params)
     flat_s, _ = jax.tree.flatten(specs, is_leaf=lambda x: isinstance(x, P))
     placed = [put_global(p, NamedSharding(mesh, s)) for p, s in zip(flat_p, flat_s)]
