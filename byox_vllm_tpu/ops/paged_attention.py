@@ -707,11 +707,10 @@ def _decode_kernel_v3(
 
     if store:
         # Fused KV store: DMA this step's new rows (pre-quantized in XLA)
-        # into the aliased pools. Rows are first vector-copied into a
-        # parity-buffered scratch (the pipelined input block may be
-        # overwritten by prefetch before a late DMA reads it), then written
-        # row-by-row at each sequence's slot. Group gi's writes are waited
-        # at group gi+1 (overlapped); the final group waits its own so the
+        # into the aliased pools, row-by-row at each sequence's slot.
+        # Sources live in HBM (ANY blocks), so each store is an HBM->HBM
+        # DMA the pipeline never touches. Group gi's writes are waited at
+        # group gi+1 (overlapped); the final group waits its own so the
         # pools are complete when the kernel returns. The attention itself
         # never needs these rows: the pool context excludes the current
         # token, which attends via the tail term.
@@ -719,8 +718,7 @@ def _decode_kernel_v3(
         dsts = [kp_out, vp_out] + ([sc_out] if quantized else [])
 
         def store_copy(gi_, s_i, srow, parity, idx):
-            # src is the FULL [B, lanes] rows block (constant index map, so
-            # the pipeline never rotates it — safe to DMA from across steps);
+            # src is the full [B, lanes] HBM-resident rows array;
             # every pool (K, V, scales) is page-shaped [nb, bs, lanes]
             return pltpu.make_async_copy(
                 srcs[idx].at[pl.ds(gi_ * sb + s_i, 1), :],
@@ -952,15 +950,16 @@ def paged_decode_attention_v3(
     out_shape = [jax.ShapeDtypeStruct((b, nh, hd), q.dtype)]
     input_output_aliases = {}
     if store:
-        # full-array blocks (constant index map): small enough for VMEM and
-        # per-group row blocks would violate the (8, 128) min block shape
+        # store rows stay HBM-resident (ANY): each row store is then a pure
+        # HBM->HBM DMA, immune to the input pipeline's block rotation and to
+        # Mosaic VMEM-layout restrictions on DMA-from-pipelined-block
         in_specs += [
-            pl.BlockSpec((b, f), _idx(lambda i, c: (0, 0))),
-            pl.BlockSpec((b, f), _idx(lambda i, c: (0, 0))),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         operands += [k_store, v_store]
         if quantized:
-            in_specs += [pl.BlockSpec((b, kv_scales.shape[1]), _idx(lambda i, c: (0, 0)))]
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
             operands += [sc_store]
         # pools come back as aliased outputs (zero-copy in-place update)
         out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nbuf
