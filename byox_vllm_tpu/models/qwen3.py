@@ -111,16 +111,21 @@ def quantize_layer_params(layer_params: dict, bits: int, tp: int = 1) -> dict:
     return out
 
 
-def quantize_head(lm_head, bits: int) -> dict:
+def quantize_head(lm_head, bits: int, on_device: bool = False) -> dict:
     """lm_head [V, D] float -> {"q": int8 [D, V_pad], "s": f32 [D/G, V_pad]}
     stored pre-transposed for the fused dequant-matmul (x [N, D] @ W [D, V]).
     V is padded up to a multiple of 1024 so the qmm kernel can tile the
     output dim (151936 = 1187 * 128 would force 128-wide tiles); the forward
-    slices logits back to the real vocab."""
-    import numpy as np
-
+    slices logits back to the real vocab. ``on_device``: pad/transpose/
+    quantize on the accelerator (random init) instead of host numpy."""
     v, d = lm_head.shape
     v_pad = -(-v // 1024) * 1024
+    if on_device:
+        w = jnp.zeros((d, v_pad), jnp.float32)
+        w = jax.lax.dynamic_update_slice(w, lm_head.astype(jnp.float32).T, (0, 0))
+        return quantize_weight(w, bits=bits, on_device=True)
+    import numpy as np
+
     w = np.zeros((d, v_pad), np.float32)
     w[:, :v] = np.asarray(jax.device_get(lm_head)).astype(np.float32).T
     return quantize_weight(w, bits=bits)
@@ -242,26 +247,44 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
     key = jax.random.PRNGKey(seed)
     counter = [0]
     L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
-    # When quantizing, generate on the CPU backend: materializing the full
-    # bf16 tree on the accelerator first would OOM large models (the
-    # quantized pack is 2-4x smaller than the transient fp weights).
-    gen_device = jax.devices("cpu")[0] if spec.quant_bits is not None else None
+    quantizing = spec.quant_bits is not None
 
     def w(*shape, scale=0.02):
         counter[0] += 1
         k = jax.random.fold_in(key, counter[0])
-        if gen_device is not None:
-            with jax.default_device(gen_device):
-                return scale * jax.random.normal(k, shape, dtype=dtype)
         return scale * jax.random.normal(k, shape, dtype=dtype)
+
+    def wq(*shape, scale=0.02):
+        """Stacked [L, ..., K, M] weight, quantized. Generated and quantized
+        ON the accelerator one layer at a time: the transient full-precision
+        tensor is a single layer (hundreds of MB), never the whole stack
+        (which would OOM the chip), and the generation itself runs at device
+        speed (jax.random.normal of one stacked 8B weight takes ~8 min on a
+        2-vCPU host CPU backend — the whole tree close to an hour)."""
+        if not quantizing:
+            return w(*shape, scale=scale)
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        per_layer = []
+        for layer in range(shape[0]):
+            x = scale * jax.random.normal(
+                jax.random.fold_in(k, layer), shape[1:], dtype=dtype
+            )
+            per_layer.append(
+                quantize_weight(x, spec.quant_bits, tp=spec.quant_tp, on_device=True)
+            )
+        return {
+            "q": jnp.stack([p["q"] for p in per_layer]),
+            "s": jnp.stack([p["s"] for p in per_layer]),
+        }
 
     def ones(*shape):
         return jnp.ones(shape, dtype=dtype)
 
     layer_params = {
         "attn_norm": ones(L, D),
-        "wqkv": w(L, D, spec.qkv_size),
-        "wo": w(L, spec.q_size, D),
+        "wqkv": wq(L, D, spec.qkv_size),
+        "wo": wq(L, spec.q_size, D),
         "mlp_norm": ones(L, D),
     }
     if spec.num_experts:
@@ -270,8 +293,8 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
         layer_params["moe_gate_up"] = w(L, E, D, 2 * Fm)
         layer_params["moe_down"] = w(L, E, Fm, D)
     else:
-        layer_params["w_gate_up"] = w(L, D, 2 * F)
-        layer_params["w_down"] = w(L, F, D)
+        layer_params["w_gate_up"] = wq(L, D, 2 * F)
+        layer_params["w_down"] = wq(L, F, D)
     if spec.qk_norm:
         layer_params["q_norm"] = ones(L, spec.head_dim)
         layer_params["k_norm"] = ones(L, spec.head_dim)
@@ -284,12 +307,11 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
         params["layers"]["bqkv"] = jnp.zeros((L, spec.qkv_size), dtype=dtype)
     if not spec.tie_word_embeddings:
         params["lm_head"] = w(spec.vocab_size, D)
-    if spec.quant_bits is not None:
-        params["layers"] = quantize_layer_params(
-            params["layers"], spec.quant_bits, tp=spec.quant_tp
-        )
+    # matmul weights were generated pre-quantized by wq(); only the head is left
     if spec.head_bits is not None and not spec.tie_word_embeddings:
-        params["lm_head"] = quantize_head(params["lm_head"], spec.head_bits)
+        params["lm_head"] = quantize_head(
+            params["lm_head"], spec.head_bits, on_device=True
+        )
     return params
 
 

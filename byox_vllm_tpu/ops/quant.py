@@ -67,28 +67,15 @@ def unpack_int4_np(packed) -> np.ndarray:
     return np.stack([lo, hi], axis=-2).reshape(*lead, kh * 2, m)
 
 
-def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1):
-    """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}.
-
-    Computed with jax pinned to the CPU backend (multithreaded — the numpy
-    version cost ~25 min for an 8B model, dominated by single-threaded bf16
-    conversions); the transient full-precision tensor never lands on the
-    accelerator. Outputs are CPU-committed; callers device_put them.
-
-    ``tp``: under shard_map tensor parallelism a row-parallel weight's K dim
-    shards tp ways, so its scale rows (K/G) must too — shrink the group
-    until (K/G) %% tp == 0 (no-op for real model sizes at G=128)."""
-    *lead, k, m = w.shape
-    g = group or pick_group(k, bits)
-    while tp > 1 and (k // g) % tp and g > (2 if bits == 4 else 1):
-        g //= 2
-    assert tp <= 1 or (k // g) % tp == 0, (k, g, tp)
-    assert k % g == 0
+@functools.lru_cache(maxsize=None)
+def _quantize_core(bits: int, g: int):
+    """Jitted quantizer shared across calls (keyed on bits/group; shapes key
+    the jit cache) — per-layer random init calls this L times per weight."""
     qmax = 127.0 if bits == 8 else 7.0
-    cpu = jax.devices("cpu")[0]
 
     @jax.jit
     def _quantize(w):
+        *lead, k, m = w.shape
         grouped = w.astype(jnp.float32).reshape(*lead, k // g, g, m)
         scales = jnp.maximum(jnp.max(jnp.abs(grouped), axis=-2) / qmax, 1e-8)
         q = jnp.clip(jnp.round(grouped / scales[..., None, :]), -qmax, qmax)
@@ -99,10 +86,41 @@ def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1):
             q = (lo | (hi << 4)).astype(jnp.int8)
         return q, scales
 
-    with jax.default_device(cpu):
-        if isinstance(w, np.ndarray):
-            w = jnp.asarray(w)
-        q, scales = _quantize(w)
+    return _quantize
+
+
+def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1,
+                    on_device: bool = False):
+    """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}.
+
+    By default computed with jax pinned to the CPU backend (multithreaded —
+    the numpy version cost ~25 min for an 8B model, dominated by
+    single-threaded bf16 conversions); the transient full-precision tensor
+    never lands on the accelerator. Outputs are CPU-committed; callers
+    device_put them. ``on_device=True`` skips the CPU pin and quantizes on
+    the default backend — used by random init, which generates weights
+    directly on the accelerator one layer at a time (a 2-vCPU host takes
+    ~8 min per stacked 8B weight just to *generate* it).
+
+    ``tp``: under shard_map tensor parallelism a row-parallel weight's K dim
+    shards tp ways, so its scale rows (K/G) must too — shrink the group
+    until (K/G) %% tp == 0 (no-op for real model sizes at G=128)."""
+    *lead, k, m = w.shape
+    g = group or pick_group(k, bits)
+    while tp > 1 and (k // g) % tp and g > (2 if bits == 4 else 1):
+        g //= 2
+    assert tp <= 1 or (k // g) % tp == 0, (k, g, tp)
+    assert k % g == 0
+    cpu = jax.devices("cpu")[0]
+    _quantize = _quantize_core(bits, g)
+
+    if on_device:
+        q, scales = _quantize(jnp.asarray(w))
+    else:
+        with jax.default_device(cpu):
+            if isinstance(w, np.ndarray):
+                w = jnp.asarray(w)
+            q, scales = _quantize(w)
     return {"q": q, "s": scales}
 
 
