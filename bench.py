@@ -149,6 +149,51 @@ def _workload(num_seqs: int, seed: int = 0):
     return prompts, sampling
 
 
+def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2) -> dict:
+    """Open-loop serving phase: Poisson arrivals at BYOX_BENCH_ARRIVAL_UTIL
+    (default 0.65) x measured offline capacity. TTFT here is the
+    gate-appropriate measurement (BASELINE.md: p50 < 200 ms): each request's
+    clock starts at its own arrival, not at t=0 of a 128-deep batch (the
+    offline number mostly measures queueing behind other prefills —
+    VERDICT r2). Reuses the warmed engine, so no compiles land in the
+    timings."""
+    from byox_vllm_tpu.engine.metrics import EngineMetrics
+
+    util = float(os.environ.get("BYOX_BENCH_ARRIVAL_UTIL", "0.65"))
+    rng = random.Random(seed)
+    prompts, sampling = _workload(num_seqs, seed=seed)
+    avg_out = sum(sp.max_tokens for sp in sampling) / len(sampling)
+    rate = util * tok_s_capacity / avg_out  # requests / s
+    t, arrivals = 0.0, []
+    for _ in range(num_seqs):
+        t += rng.expovariate(rate)
+        arrivals.append(t)
+
+    llm.metrics = EngineMetrics()
+    t0 = time.perf_counter()
+    i = 0
+    while i < num_seqs or not llm.is_finished():
+        now = time.perf_counter() - t0
+        while i < num_seqs and arrivals[i] <= now:
+            llm.add_request(prompts[i], sampling[i])
+            i += 1
+        if llm.is_finished():
+            time.sleep(min(max(arrivals[i] - now, 0.0), 0.05))
+            continue
+        llm.step()
+    wall = time.perf_counter() - t0
+    msum = llm.metrics.summary()
+    return {
+        "arrival_rate_rps": round(rate, 3),
+        "arrival_util": util,
+        "arrival_num_seqs": num_seqs,
+        "arrival_wall_s": round(wall, 2),
+        "arrival_ttft_p50_s": msum["ttft_p50_s"],
+        "arrival_ttft_p99_s": msum["ttft_p99_s"],
+        "arrival_latency_p50_s": msum["latency_p50_s"],
+    }
+
+
 def _kv_gb_per_1k_seqs(llm) -> float:
     """North-star gate: KV bytes to hold 1000 sequences at max_model_len."""
     import jax
@@ -226,7 +271,21 @@ def _run_bench() -> dict:
         metric += "_cpu_fallback"
 
     msum = llm.metrics.summary()
+
+    # open-loop serving phase (skippable: BYOX_BENCH_ARRIVAL=0). The offline
+    # phase above measured capacity; arrivals are paced off it.
+    arrival = {}
+    if os.environ.get("BYOX_BENCH_ARRIVAL", "1") != "0" and not fallback:
+        arrival = _run_arrival_phase(llm, tok_s, num_seqs)
+
     import jax
+
+    # roofline visibility: decode-only ms/step and the achieved WEIGHT-stream
+    # bandwidth (param bytes fully re-read every model step; KV reads come on
+    # top, so this is a lower bound on total HBM GB/s)
+    param_bytes = sum(x.nbytes for x in jax.tree.leaves(llm.model_runner.params))
+    decode_ms = msum.get("decode_ms_per_step")
+    weight_gbps = round(param_bytes / (decode_ms / 1e3) / 1e9, 1) if decode_ms else None
 
     return {
         "metric": metric,
@@ -244,6 +303,10 @@ def _run_bench() -> dict:
         "latency_p50_s": msum["latency_p50_s"],
         "kv_gb_per_1k_seqs": _kv_gb_per_1k_seqs(llm),
         "num_kvcache_blocks": llm.config.num_kvcache_blocks,
+        "decode_ms_per_step": decode_ms,
+        "weight_stream_gbps": weight_gbps,
+        "prefill_tok_s": msum.get("prefill_tok_s"),
+        **arrival,
     }
 
 

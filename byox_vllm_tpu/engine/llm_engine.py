@@ -140,12 +140,14 @@ class LLMEngine:
                     list(seqs),
                     [],
                 )
+                self.metrics.decode_model_steps += lookahead
                 for s in seqs:
                     s.in_flight += lookahead
                 return [], 0
             prev, prev_seqs, zombies = pend
             if prev_seqs == seqs and prev.lookahead == lookahead:
                 nxt = self.model_runner.dispatch_decode(seqs, lookahead, carry=prev.tokens)
+                self.metrics.decode_model_steps += lookahead
                 for s in seqs:
                     s.in_flight += lookahead
                 self._pending = (nxt, list(seqs), [])
@@ -173,6 +175,7 @@ class LLMEngine:
             token_ids, accepted = self.model_runner.run_spec(
                 seqs, drafts, self.proposer.k
             )
+            self.metrics.decode_model_steps += 1
             for d, a in zip(drafts, accepted):
                 self.spec_metrics.record(len(d), min(int(a), len(d)))
             if getattr(self.proposer, "wants_hidden", False):
@@ -180,6 +183,8 @@ class LLMEngine:
                 self.proposer.observe_verify(seqs, token_ids, self.model_runner.last_hidden)
         else:
             token_ids = self.model_runner.run(seqs, is_prefill, self.scheduler.last_lookahead)
+            if not is_prefill:
+                self.metrics.decode_model_steps += self.scheduler.last_lookahead
             if is_prefill and self.proposer is not None and hasattr(self.proposer, "observe_prefill"):
                 if getattr(self.proposer, "wants_hidden", False):
                     self.proposer.observe_prefill(seqs, self.model_runner.last_hidden)
@@ -315,8 +320,13 @@ class LLMEngine:
                 print(f"step {kind}: {abs(num_tokens)} tokens in {dt * 1e3:.1f} ms", file=sys.stderr)
             if num_tokens > 0:
                 self._stats["prefill_tok_s"] = num_tokens / dt
+                self.metrics.prefill_wall_s += dt
             elif num_tokens < 0:
                 self._stats["decode_tok_s"] = -num_tokens / dt
+                self.metrics.decode_wall_s += dt
+            elif self._pending is not None:
+                # pipelined decode dispatch step (tokens commit next step)
+                self.metrics.decode_wall_s += dt
             for seq_id, completion in finished:
                 outputs[seq_id] = completion
             if pbar is not None:

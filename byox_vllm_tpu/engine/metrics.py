@@ -16,6 +16,12 @@ class EngineMetrics:
     prefill_tokens: int = 0
     decode_tokens: int = 0
     num_finished: int = 0
+    # roofline accounting: engine-loop wall time split by phase, and the
+    # number of MODEL decode steps (a multi-step dispatch of lookahead K
+    # counts K — each runs the full weight stream once)
+    prefill_wall_s: float = 0.0
+    decode_wall_s: float = 0.0
+    decode_model_steps: int = 0
     ttft_s: list = field(default_factory=list)  # time to first token per request
     latency_s: list = field(default_factory=list)  # arrival -> finish per request
 
@@ -41,6 +47,19 @@ class EngineMetrics:
             "ttft_p99_s": self._pct(self.ttft_s, 99),
             "latency_p50_s": self._pct(self.latency_s, 50),
             "latency_p99_s": self._pct(self.latency_s, 99),
+            "prefill_wall_s": round(self.prefill_wall_s, 4),
+            "decode_wall_s": round(self.decode_wall_s, 4),
+            "decode_model_steps": self.decode_model_steps,
+            "decode_ms_per_step": (
+                round(1e3 * self.decode_wall_s / self.decode_model_steps, 3)
+                if self.decode_model_steps
+                else None
+            ),
+            "prefill_tok_s": (
+                round(self.prefill_tokens / self.prefill_wall_s, 1)
+                if self.prefill_wall_s > 0
+                else None
+            ),
         }
 
 

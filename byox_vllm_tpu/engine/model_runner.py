@@ -157,7 +157,6 @@ class ModelRunner:
             )
             self.spec = replace(
                 self.spec, quant_bits=bits, act_bits=act_bits, head_bits=head_bits,
-                quant_tp=config.tensor_parallel_size,
             )
         self.forward_fn = model_cls.forward
         self.block_size = config.kvcache_block_size
@@ -202,12 +201,21 @@ class ModelRunner:
             )
         if self.tp > 1:
             # shard_map TP: fused projection columns must be grouped per
-            # shard (parallel/tp.py) BEFORE the mesh placement
-            from byox_vllm_tpu.parallel.tp import tp_permute_layer_params
+            # shard (parallel/tp.py) BEFORE the mesh placement, and
+            # row-parallel quantized scale rows refined (losslessly) so they
+            # shard tp-ways — quantization itself is tp-agnostic
+            from byox_vllm_tpu.parallel.tp import (
+                tp_permute_layer_params,
+                tp_refine_layer_scales,
+            )
 
             params["layers"] = tp_permute_layer_params(
                 params["layers"], self.spec, self.tp
             )
+            if self.spec.quant_bits is not None:
+                params["layers"] = tp_refine_layer_scales(
+                    params["layers"], self.tp, self.spec.quant_bits
+                )
             params = jax.tree.map(jnp.asarray, params)
         self.params = shard_params(params, self.mesh, pp=self.pp)
         if self.pp == 1:
@@ -299,9 +307,10 @@ class ModelRunner:
         self.capture_hidden = bool(sc is not None and getattr(sc, "method", None) == "eagle")
         self.last_hidden = None  # (hidden [Bpad, T, D] device, row of each seq)
         if self.capture_hidden:
-            assert self.tp == 1 and self.dp == 1 and self.pp == 1, (
-                "eagle speculative decoding currently requires tp == dp == pp == 1"
-            )
+            # tp/dp compose: hidden states are model-replicated after the
+            # final psum and batch-sharded over 'data' (out_specs below); the
+            # drafter itself is tiny and runs unsharded on the default device
+            assert self.pp == 1, "eagle speculative decoding under pp TBD"
         step_impl = partial(
             _model_step,
             forward_fn=self.forward_fn,
@@ -362,7 +371,10 @@ class ModelRunner:
                     opt(run_spec, runs),
                     opt((P(Dx), P(Dx)), seed_info),
                 )
-                return ins, (P(Dx), kv_specs)
+                outs = (P(Dx), kv_specs)
+                if self.capture_hidden:
+                    outs = outs + (P(Dx, None, None),)  # hidden [B, T, D]
+                return ins, outs
 
             def decode_specs(args):
                 (_, _, _, _, _, _, _, _, filters, seed_info) = args
@@ -382,7 +394,10 @@ class ModelRunner:
                     opt((P(Dx), P(Dx)), filters),
                     opt((P(Dx), P(Dx)), seed_info),
                 )
-                return ins, (P(Dx, None), P(Dx), kv_specs)
+                outs = (P(Dx, None), P(Dx), kv_specs)
+                if self.capture_hidden:
+                    outs = outs + (P(Dx, None, None),)  # hidden [B, T, D]
+                return ins, outs
 
             def make_caller(kind, impl, specs_fn):
                 def call(*args):

@@ -135,6 +135,14 @@ class EagleProposer:
                 target_runner.params, target_runner.spec,
                 spec_config.draft_num_layers, dtype, seed=target_config.seed,
             )
+        if target_runner.tp > 1 or target_runner.dp > 1 or target_runner.pp > 1:
+            # the drafter runs UNSHARDED (it is tiny; one device call per
+            # draft step), but init/pack loading references the target's
+            # embed/lm_head, which live sharded on the mesh — materialize
+            # local unsharded copies so the drafter's jit sees one placement
+            self.params = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(jax.device_get(x))), self.params
+            )
         # drafter geometry follows the loaded/injected trunk, not the config
         trunk = self.params["layers"]
         first = next(iter(trunk.values()))

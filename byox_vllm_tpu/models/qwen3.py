@@ -100,14 +100,14 @@ def _slice_layer(w, i):
     return w[i]
 
 
-def quantize_layer_params(layer_params: dict, bits: int, tp: int = 1) -> dict:
+def quantize_layer_params(layer_params: dict, bits: int) -> dict:
     """Quantize the four big per-layer matmul weights (stacked [L, K, M]);
-    norms/bias stay dense. ``tp`` caps the group so row-parallel scale rows
-    shard evenly (ops/quant.py::quantize_weight)."""
+    norms/bias stay dense. TP-agnostic: serving-time scale-row sharding is
+    handled by exact group refinement (parallel/tp.py::tp_refine_layer_scales)."""
     out = dict(layer_params)
     for name in QUANTIZED_LAYER_WEIGHTS:
         if name in layer_params:  # MoE layers have no dense w_gate_up/w_down
-            out[name] = quantize_weight(layer_params[name], bits, tp=tp)
+            out[name] = quantize_weight(layer_params[name], bits)
     return out
 
 
@@ -167,7 +167,6 @@ class Qwen3Spec:
     max_position_embeddings: int
     quant_bits: int | None = None  # weight-only quantization: None | 8 | 4
     act_bits: int | None = None  # 8 = W4A8: int8 activations on the int8 MXU
-    quant_tp: int = 1  # scale-row divisibility for shard_map TP (see ops/quant.py)
     # LM head quantization (untied heads only). Always int8 even for int4
     # body weights: the head is the single largest matrix (V x D, 1.2 GB
     # bf16 on 8B) and streams fully every decode step, but it is also the
@@ -271,7 +270,7 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
                 jax.random.fold_in(k, layer), shape[1:], dtype=dtype
             )
             per_layer.append(
-                quantize_weight(x, spec.quant_bits, tp=spec.quant_tp, on_device=True)
+                quantize_weight(x, spec.quant_bits, on_device=True)
             )
         return {
             "q": jnp.stack([p["q"] for p in per_layer]),

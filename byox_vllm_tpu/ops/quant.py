@@ -22,6 +22,7 @@ int4).
 """
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +90,7 @@ def _quantize_core(bits: int, g: int):
     return _quantize
 
 
-def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1,
+def quantize_weight(w, bits: int = 8, group: int | None = None,
                     on_device: bool = False):
     """w [..., K, M] float -> {"q": int8 [..., K(/2), M], "s": f32 [..., K/G, M]}.
 
@@ -102,14 +103,13 @@ def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1,
     directly on the accelerator one layer at a time (a 2-vCPU host takes
     ~8 min per stacked 8B weight just to *generate* it).
 
-    ``tp``: under shard_map tensor parallelism a row-parallel weight's K dim
-    shards tp ways, so its scale rows (K/G) must too — shrink the group
-    until (K/G) %% tp == 0 (no-op for real model sizes at G=128)."""
+    Quantization is deliberately TP-AGNOSTIC: a pack produced here serves at
+    any tensor-parallel degree with bitwise-identical numerics. When a
+    row-parallel weight's scale rows (K/G) don't divide tp at serving time,
+    ``refine_scales`` splits groups exactly (scale-row repeat) — it never
+    requantizes."""
     *lead, k, m = w.shape
     g = group or pick_group(k, bits)
-    while tp > 1 and (k // g) % tp and g > (2 if bits == 4 else 1):
-        g //= 2
-    assert tp <= 1 or (k // g) % tp == 0, (k, g, tp)
     assert k % g == 0
     cpu = jax.devices("cpu")[0]
     _quantize = _quantize_core(bits, g)
@@ -122,6 +122,33 @@ def quantize_weight(w, bits: int = 8, group: int | None = None, tp: int = 1,
                 w = jnp.asarray(w)
             q, scales = _quantize(w)
     return {"q": q, "s": scales}
+
+
+def refine_scales(qdict: dict, tp: int, bits: int) -> dict:
+    """Split quantization groups so scale rows shard tp-ways — EXACTLY.
+
+    A group of size G scaled by s dequantizes identically to r sub-groups of
+    size G/r each scaled by the same s, so repeating every scale row r times
+    is a lossless re-grouping: dequantized weights are bitwise unchanged.
+    Used at serving time for row-parallel weights (K sharded across the
+    'model' axis) when (K/G) % tp != 0 — which only happens for tiny test
+    models (real checkpoints have K/G >= 32 at G=128). The reference has no
+    analogue (its quant support is absent; TP sharding is per-rank narrowing
+    at load, nanovllm/layers/linear.py:126-147)."""
+    q, s = qdict["q"], qdict["s"]
+    rows = s.shape[-2]
+    k = q.shape[-2] * (2 if bits == 4 else 1)
+    g = k // rows
+    if tp <= 1 or rows % tp == 0:
+        return qdict
+    r = tp // math.gcd(rows, tp)
+    if g % r or (bits == 4 and (g // r) % 2):
+        raise ValueError(
+            f"cannot refine scale groups for tp={tp}: K={k}, G={g}, "
+            f"need split factor {r} (int4 requires even sub-groups)"
+        )
+    s = jnp.repeat(jnp.asarray(s), r, axis=-2)
+    return {"q": q, "s": s}
 
 
 def _unpack_tile(raw, bits: int, interpret: bool):

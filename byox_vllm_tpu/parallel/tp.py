@@ -72,6 +72,22 @@ def tp_permute_layer_params(layer_params: dict, spec, tp: int) -> dict:
     return out
 
 
+def tp_refine_layer_scales(layer_params: dict, tp: int, bits: int) -> dict:
+    """Exact scale-group refinement for the ROW-PARALLEL quantized weights
+    (wo, w_down: K shards across 'model', so scale rows K/G must divide tp).
+    Lossless — see ops/quant.py::refine_scales. Column-parallel weights
+    (wqkv, w_gate_up) shard M, never K; MoE experts shard WHOLE."""
+    if tp <= 1:
+        return layer_params
+    from byox_vllm_tpu.ops.quant import refine_scales
+
+    out = dict(layer_params)
+    for name in ("wo", "w_down"):
+        if name in layer_params and isinstance(layer_params[name], dict):
+            out[name] = refine_scales(layer_params[name], tp, bits)
+    return out
+
+
 def local_spec(spec, tp: int):
     """The per-shard model spec: heads divide across the model axis (vocab
     stays GLOBAL — the embedding/head handle vocab sharding explicitly).

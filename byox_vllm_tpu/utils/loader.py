@@ -110,9 +110,7 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
     if spec.quant_bits is not None:
         from byox_vllm_tpu.models.qwen3 import quantize_layer_params
 
-        params["layers"] = quantize_layer_params(
-            params["layers"], spec.quant_bits, tp=spec.quant_tp
-        )
+        params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
         logger.info("quantized layer weights to int%d", spec.quant_bits)
     if spec.head_bits is not None and not spec.tie_word_embeddings:
         from byox_vllm_tpu.models.qwen3 import quantize_head

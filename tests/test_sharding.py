@@ -293,3 +293,74 @@ def test_dp_draft_model_spec_lane_layout():
         m = spec_llm.spec_metrics.summary()
         assert m["num_drafts"] > 0
         assert m["draft_acceptance_rate"] == 1.0, m  # wrong-lane KV would tank this
+
+
+def test_tp_dp_ngram_spec_matches_single_device():
+    """Speculative decoding composes with TP x DP: ngram spec decode on a
+    TP=2 x DP=2 mesh must emit exactly the single-device non-spec greedy
+    stream (rejection sampling is output-invariant under greedy; the verify
+    step runs through the shard_map path with vocab-gathered logits,
+    models/qwen3.py::_finalize)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 64, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=64,
+        kvcache_block_size=16, seed=5,
+    )
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7, 8, 7, 8, 7, 8], [4, 5, 6, 4, 5]]
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    plain = LLM(**common).generate(prompts, sp, use_tqdm=False)
+    spec_llm = LLM(
+        tensor_parallel_size=2, data_parallel_size=2,
+        speculative_config={
+            "method": "ngram", "num_speculative_tokens": 4,
+            "prompt_lookup_max": 3, "prompt_lookup_min": 1,
+        },
+        **common,
+    )
+    out = spec_llm.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, out):
+        assert a["token_ids"] == b["token_ids"]
+    m = spec_llm.spec_metrics.summary()
+    assert m["num_drafts"] > 0
+
+
+def test_tp_eagle_spec_greedy_invariance():
+    """EAGLE feature-level drafting under TP=2: the capture_hidden out_specs
+    thread the target's post-norm hidden states out of the shard_map step
+    (batch on 'data', model-replicated), and greedy outputs stay invariant
+    regardless of drafter quality (random drafter here)."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 64, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": True, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=64,
+        kvcache_block_size=16, seed=5,
+    )
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7, 8, 7, 8, 7, 8]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    plain = LLM(**common).generate(prompts, sp, use_tqdm=False)
+    spec_llm = LLM(
+        tensor_parallel_size=2,
+        speculative_config={"method": "eagle", "num_speculative_tokens": 3},
+        **common,
+    )
+    out = spec_llm.generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(plain, out):
+        assert a["token_ids"] == b["token_ids"]
+    assert spec_llm.spec_metrics.summary()["num_drafts"] > 0
