@@ -88,14 +88,14 @@ def paged_attention(
                 kv_scales=kv_scales, **kwargs,
             )
             return out[:, None]
-    if tq > 1 and use_pallas and window is None and tq % min(128, tq) == 0:
+    if tq > 1 and use_pallas and tq % min(128, tq) == 0:
         from byox_vllm_tpu.ops.prefill_attention import paged_prefill_attention
 
         q_lens = context_lens - positions[:, 0]
         return paged_prefill_attention(
             q, k_pool, v_pool, block_tables, context_lens, q_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
-            kv_scales=kv_scales,
+            kv_scales=kv_scales, window=window,
         )
     return paged_attention_dense(
         q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,

@@ -49,6 +49,7 @@ def _prefill_kernel(
     head_dim: int,
     q_tile: int,
     quantized: bool,
+    window: int | None = None,  # sliding-window attention band
 ):
     if quantized:
         sc_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -75,6 +76,14 @@ def _prefill_kernel(
     max_pos = jnp.minimum(base + q_tile - 1, ctx - 1)
     page_start = w * block_size
     useful = jnp.logical_and(page_start <= max_pos, ctx > 0)
+    if window is not None:
+        # pages wholly below the tile's window floor (oldest attendable key
+        # of row 0 = base - window + 1) are index-clamped by page_index, so
+        # their DMA is skipped — predicate their compute away too. Rows whose
+        # own floor is higher self-heal: their fully-masked pages leave
+        # m = -inf, and the first real key zeroes the garbage via
+        # alpha = exp(-inf - m_new) = 0.
+        useful &= page_start + block_size - 1 >= base - window + 1
 
     @pl.when(useful)
     def _page():
@@ -83,6 +92,8 @@ def _prefill_kernel(
         key_pos = page_start + col
         q_pos = base + row_t
         mask = jnp.logical_and(key_pos <= q_pos, key_pos < ctx)  # [TQ, bs]
+        if window is not None:  # band: keys within [q_pos - W + 1, q_pos]
+            mask &= key_pos > q_pos - window
 
         sc = sc_ref[0].astype(jnp.float32) if quantized else None  # [bs, 128]
         for h in range(nh):
@@ -122,7 +133,7 @@ def _prefill_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "scale", "interpret")
+    jax.jit, static_argnames=("block_size", "scale", "interpret", "window")
 )
 def paged_prefill_attention(
     q: jnp.ndarray,  # [B, Tq, nh, hd]
@@ -136,6 +147,7 @@ def paged_prefill_attention(
     scale: float,
     interpret: bool = False,
     kv_scales=None,  # unified [S, 128] bf16 scale pool when the pool is int8
+    window: int | None = None,  # sliding-window attention (band + DMA skip)
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
     s, f = k_pool.shape
@@ -152,12 +164,17 @@ def paged_prefill_attention(
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
     def page_index(i, t, j, bt, ctx, ql):
-        # clamp to the last page this query tile can use: repeated indices
-        # between consecutive grid steps skip the DMA entirely
+        # clamp to the page range this query tile can use: repeated indices
+        # between consecutive grid steps skip the DMA entirely. The low clamp
+        # is the sliding-window floor (row 0's oldest attendable key).
         base = ctx[i] - ql[i] + t * q_tile
         max_pos = jnp.minimum(base + q_tile - 1, ctx[i] - 1)
         last_useful = jnp.clip(max_pos // block_size, 0, None)
-        return (bt[i, jnp.clip(jnp.minimum(j, last_useful), 0, None)], 0, 0)
+        jj = jnp.minimum(j, last_useful)
+        if window is not None:
+            first_useful = jnp.clip((base - window + 1) // block_size, 0, None)
+            jj = jnp.maximum(jj, jnp.minimum(first_useful, last_useful))
+        return (bt[i, jnp.clip(jj, 0, None)], 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
@@ -189,6 +206,7 @@ def paged_prefill_attention(
         head_dim=hd,
         q_tile=q_tile,
         quantized=quantized,
+        window=window,
     )
     return pl.pallas_call(
         kernel,
