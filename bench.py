@@ -194,6 +194,45 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
     }
 
 
+def _run_prefix_phase(llm, num_seqs: int, seed: int = 5) -> dict:
+    """Shared-system-prompt workload: every request shares a 128-token
+    prefix (block-aligned) plus a short unique suffix, exercising the
+    hash-chained prefix cache (block reuse + freed-block resurrection,
+    reference block_manager.py:41-71) under serving load. Reports the
+    cache-hit fraction and the TTFT/throughput win it buys."""
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    rng = random.Random(seed)
+    bs = llm.config.kvcache_block_size
+    prefix_len = max(bs * 2, 128 // bs * bs)  # block-aligned shared prefix
+    prefix = [rng.randint(0, 10000) for _ in range(prefix_len)]
+    prompts = [
+        prefix + [rng.randint(0, 10000) for _ in range(8)] for _ in range(num_seqs)
+    ]
+    sp = [SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=32)
+          for _ in range(num_seqs)]
+    # warm the cache with one request so the timed batch hits it
+    llm.generate([prompts[0]], sp[:1], use_tqdm=False)
+    from byox_vllm_tpu.engine.metrics import EngineMetrics
+
+    llm.metrics = EngineMetrics()
+    seqs = []
+    t0 = time.perf_counter()
+    for p, s in zip(prompts, sp):
+        seqs.append(llm.add_request(p, s))
+    while not llm.is_finished():
+        llm.step()
+    wall = time.perf_counter() - t0
+    cached = sum(s.num_cached_tokens for s in seqs)
+    total_prompt = sum(len(p) for p in prompts)
+    msum = llm.metrics.summary()
+    return {
+        "prefix_cached_token_frac": round(cached / max(total_prompt, 1), 3),
+        "prefix_ttft_p50_s": msum["ttft_p50_s"],
+        "prefix_tok_s": round(num_seqs * 32 / wall, 1),
+    }
+
+
 def _kv_gb_per_1k_seqs(llm) -> float:
     """North-star gate: KV bytes to hold 1000 sequences at max_model_len."""
     import jax
@@ -277,6 +316,8 @@ def _run_bench() -> dict:
     arrival = {}
     if os.environ.get("BYOX_BENCH_ARRIVAL", "1") != "0" and not fallback:
         arrival = _run_arrival_phase(llm, tok_s, num_seqs)
+    if os.environ.get("BYOX_BENCH_PREFIX", "1") != "0" and not fallback:
+        arrival.update(_run_prefix_phase(llm, num_seqs))
 
     import jax
 

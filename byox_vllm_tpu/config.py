@@ -34,6 +34,11 @@ class Config:
     # axis (models/pp.py) — memory scaling (models pp x larger than one
     # chip group); sequential hand-off, no microbatch overlap yet.
     pipeline_parallel_size: int = 1
+    # GPipe-style microbatch count for pipeline parallelism (models/pp.py):
+    # one step runs pp + M - 1 ticks with every stage busy in steady state;
+    # bubble fraction = (pp-1)/(pp+M-1). None = pp. Must be a power of two
+    # <= 8 so every padded batch bucket divides evenly.
+    pp_microbatches: int | None = None
     # The reference's enforce_eager disables CUDA-graph capture
     # (nanovllm/engine/model_runner.py:37-38). XLA has no eager escape hatch,
     # so the TPU analogue is the maximally-simple execution path: dense
@@ -85,6 +90,14 @@ class Config:
         assert self.tensor_parallel_size >= 1
         assert self.data_parallel_size >= 1
         assert self.pipeline_parallel_size >= 1
+        if self.pp_microbatches is None and self.pipeline_parallel_size > 1:
+            self.pp_microbatches = self.pipeline_parallel_size
+        if self.pipeline_parallel_size > 1:
+            m = self.pp_microbatches
+            assert m >= 1 and m <= 8 and (m & (m - 1)) == 0, (
+                f"pp_microbatches must be a power of two <= 8 (got {m}): every "
+                "padded batch bucket (min 8 rows) must divide into microbatches"
+            )
         max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
         self.max_model_len = min(self.max_model_len, max_pos)
         if not self.enable_chunked_prefill:

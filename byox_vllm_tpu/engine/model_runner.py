@@ -217,13 +217,22 @@ class ModelRunner:
                     params["layers"], self.tp, self.spec.quant_bits
                 )
             params = jax.tree.map(jnp.asarray, params)
+        if self.pp > 1:
+            # stage-grouped copy-free layout: per-local-layer lists of
+            # [S, ...] arrays sharded P('stage', ...) — inside shard_map the
+            # [1, ...] -> [...] squeeze is a whole-buffer reshape, so Pallas
+            # custom-calls consume weight buffers directly (no per-step
+            # stacked-slice copy; models/pp.py docstring)
+            from byox_vllm_tpu.models.pp import regroup_layers_pp
+
+            params["layers"] = regroup_layers_pp(
+                params["layers"], self.spec.num_layers, self.pp
+            )
         self.params = shard_params(params, self.mesh, pp=self.pp)
         if self.pp == 1:
             # stacked [L, ...] -> per-layer lists: a stacked slice feeding a
             # Pallas custom-call (quantized matmul) is materialized as a copy
             # every step, tripling weight traffic (models/qwen3.py docstring).
-            # pp keeps layers STACKED — per-layer lists cannot shard across
-            # the stage axis (known quantized-weights perf caveat under pp).
             from byox_vllm_tpu.models.qwen3 import unstack_layer_params
 
             self.params["layers"] = unstack_layer_params(
@@ -247,18 +256,19 @@ class ModelRunner:
         # prefill write-runs (ops/kv_cache.py::write_kv_runs); no block table
         # ever references it
         if self.pp > 1:
-            # stage-shardable layout: stacked pools [L, slots, ...]
-            from byox_vllm_tpu.models.pp import make_kv_cache_stacked
+            # stage-grouped pools: per-local-layer tuples of [S, slots, ...]
+            from byox_vllm_tpu.models.pp import make_kv_cache_pp
 
             self._kv_pspec = _P("stage", *kv_cache_spec())
             kv_sharding = NamedSharding(self.mesh, self._kv_pspec)
             self.kv_cache = jax.tree.map(
                 lambda x: put_global(x, kv_sharding),
-                make_kv_cache_stacked(
-                    self.spec, self.num_slots + self.block_size, kv_dtype, tp=self.tp
+                make_kv_cache_pp(
+                    self.spec, self.num_slots + self.block_size, kv_dtype,
+                    num_stages=self.pp, tp=self.tp,
                 ),
             )
-            kv_bytes = sum(x.nbytes for x in self.kv_cache)
+            kv_bytes = sum(x.nbytes for x in jax.tree.leaves(self.kv_cache))
         else:
             self._kv_pspec = kv_cache_spec()
             kv_sharding = NamedSharding(self.mesh, self._kv_pspec)
@@ -300,7 +310,10 @@ class ModelRunner:
             run_model_spec = _replace(
                 run_model_spec, num_layers=self.spec.num_layers // self.pp
             )
-            self.forward_fn = partial(forward_pp, num_stages=self.pp)
+            self.forward_fn = partial(
+                forward_pp, num_stages=self.pp,
+                num_microbatches=config.pp_microbatches,
+            )
         # Eagle feature-level drafting: the target's post-final-norm hidden
         # states ride along as an extra program output for the drafter
         sc = config.speculative_config
@@ -474,14 +487,29 @@ class ModelRunner:
     # ------------------------------------------------------------------
 
     def _compute_num_blocks(self) -> int:
+        import os
+
         dev = jax.devices()[0]
-        limit = _DEFAULT_HBM_BYTES
+        limit = None
         try:
             stats = dev.memory_stats()
             if stats and "bytes_limit" in stats:
                 limit = stats["bytes_limit"]
         except Exception:
             pass
+        if os.environ.get("BYOX_HBM_BYTES"):
+            limit = int(os.environ["BYOX_HBM_BYTES"])
+        elif limit is None:
+            # platform reports no memory stats: fall back to the v5e size —
+            # WRONG on larger chips (v5p 95 GiB, v4 32 GiB); override with
+            # BYOX_HBM_BYTES or pass num_kvcache_blocks explicitly
+            limit = _DEFAULT_HBM_BYTES
+            if dev.platform != "cpu":
+                logger.warning(
+                    "device reports no memory stats; assuming %.0f GiB HBM "
+                    "(v5e) — set BYOX_HBM_BYTES for other chips",
+                    limit / 1024**3,
+                )
         if dev.platform == "cpu":
             return 2048  # tests / CPU dev: fixed small pool
         weights = param_bytes(self.params)
@@ -564,6 +592,10 @@ class ModelRunner:
                 rows=rows, stride=num_rows // self.dp, dp=self.dp,
                 scratch_dst=self.num_slots,
             )
+            if self.pp > 1:
+                # run-DUS src rows index the whole padded batch; pp's
+                # microbatches slice it -> use the scatter store instead
+                runs = None
             step_out = self._step(
                 self.params,
                 self.kv_cache,

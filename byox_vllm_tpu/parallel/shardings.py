@@ -61,14 +61,18 @@ def qwen3_param_specs(params: dict, mesh=None, pp: int = 1) -> dict:
     def expand(key):
         base = layer_specs[key]
         value = params["layers"][key]
-        if isinstance(value, list):  # unstacked per-layer arrays: drop [L]
-            return [fit(P(*base[1:]), v) for v in value]
+        # list leaves: pp=1 unstacked per-layer arrays DROP the leading [L]
+        # axis; pp>1 stage-grouped arrays KEEP it ([S, ...] on 'stage' —
+        # models/pp.py::regroup_layers_pp)
+        inner = base if pp > 1 else P(*base[1:])
+        if isinstance(value, list):
+            return [fit(inner, v) for v in value]
         if isinstance(value, dict):
             # quantized {"q", "s"}: scale dims mirror the weight dims
             # ([L, K/G, M] vs [L, K, M]), modulo divisibility
             return {
                 leaf: (
-                    [fit(P(*base[1:]), vv) for vv in v]
+                    [fit(inner, vv) for vv in v]
                     if isinstance(v, list)
                     else fit(base, v)
                 )
