@@ -160,8 +160,28 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
     from byox_vllm_tpu.engine.metrics import EngineMetrics
 
     util = float(os.environ.get("BYOX_BENCH_ARRIVAL_UTIL", "0.65"))
+    # serving-mode decode window: the offline phase amortizes dispatch with
+    # K=16-step windows, but a window is TTFT blind time — an arrival waits
+    # for the in-flight window before it can prefill. K=4 bounds that at
+    # ~4 decode iterations while async pipelining still hides dispatch. The
+    # K=4 program is one of the scheduler's standard power-of-two lookahead
+    # shapes (engine/scheduler.py:_pick_lookahead), so this compiles once.
+    serve_k = int(os.environ.get("BYOX_BENCH_ARRIVAL_STEPS", "4"))
+    saved_k = llm.scheduler.decode_lookahead
+    llm.scheduler.decode_lookahead = min(serve_k, saved_k)
     rng = random.Random(seed)
     prompts, sampling = _workload(num_seqs, seed=seed)
+    if serve_k < saved_k:
+        # compile the serving-K decode programs at every batch bucket the
+        # timed loop can hit (the offline warmup only compiled the
+        # K=saved_k window shapes; a mid-run compile would be charged to
+        # some request's TTFT)
+        warm_p, warm_s = _workload(num_seqs, seed=seed + 1)
+        llm.generate(warm_p, warm_s, use_tqdm=False)
+    # arrival-mode prefills land one request at a time (smallest batch
+    # bucket), a shape the batched warmups above never hit
+    solo_p, solo_s = _workload(1, seed=seed + 2)
+    llm.generate(solo_p, solo_s, use_tqdm=False)
     avg_out = sum(sp.max_tokens for sp in sampling) / len(sampling)
     rate = util * tok_s_capacity / avg_out  # requests / s
     t, arrivals = 0.0, []
@@ -182,10 +202,12 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
             continue
         llm.step()
     wall = time.perf_counter() - t0
+    llm.scheduler.decode_lookahead = saved_k
     msum = llm.metrics.summary()
     return {
         "arrival_rate_rps": round(rate, 3),
         "arrival_util": util,
+        "arrival_decode_window": min(serve_k, saved_k),
         "arrival_num_seqs": num_seqs,
         "arrival_wall_s": round(wall, 2),
         "arrival_ttft_p50_s": msum["ttft_p50_s"],

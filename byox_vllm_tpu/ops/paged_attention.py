@@ -602,6 +602,8 @@ def _decode_kernel_v3(
     has_tail: bool,
     sb: int,  # sequences per grid step
     store: bool = False,  # fused KV-store: DMA the new rows into the pools
+    store_tile: int = 8,  # pool-dtype DMA sublane granule (8 bf16, 32 int8)
+    scale_tile: int = 8,  # scale-pool (bf16) DMA sublane granule
     window: int | None = None,  # sliding-window attention band
 ):
     rest = list(rest)
@@ -613,14 +615,19 @@ def _decode_kernel_v3(
     sc_hbm = rest.pop(0) if quantized else None
     k_tail_ref = rest.pop(0) if has_tail else None  # [SB, T, F]
     v_tail_ref = rest.pop(0) if has_tail else None
-    k_store_ref = rest.pop(0) if store else None  # [SB, F]
+    k_store_ref = rest.pop(0) if store else None  # [1, SB, F] pipelined VMEM
     v_store_ref = rest.pop(0) if store else None
     sc_store_ref = rest.pop(0) if (store and quantized) else None
     o_ref = rest.pop(0)  # [SB, nh, hd]
-    kp_out = rest.pop(0) if store else None  # aliased pools (ANY)
+    kp_out = rest.pop(0) if store else None  # aliased pools (ANY/HBM)
     vp_out = rest.pop(0) if store else None
     sc_out = rest.pop(0) if (store and quantized) else None
-    store_sems = rest.pop() if store else None
+    if store:
+        st_put_sems = rest.pop()
+        st_fetch_sems = rest.pop()
+        st_scbuf = rest.pop() if quantized else None
+        st_vbuf = rest.pop()
+        st_kbuf = rest.pop()
     if quantized:
         kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
     else:
@@ -706,50 +713,101 @@ def _decode_kernel_v3(
     wait_fetch(gi, c, slot)
 
     if store:
-        # Fused KV store: DMA this step's new rows (pre-quantized in XLA)
-        # into the aliased pools, row-by-row at each sequence's slot.
-        # Sources live in HBM (ANY blocks), so each store is an HBM->HBM
-        # DMA the pipeline never touches. Group gi's writes are waited at
-        # group gi+1 (overlapped); the final group waits its own so the
-        # pools are complete when the kernel returns. The attention itself
-        # never needs these rows: the pool context excludes the current
+        # Fused KV store as tile-window read-modify-write. Mosaic rejects
+        # single-row DMA slices (sublane slices must be tile-aligned: 8 rows
+        # bf16, 32 rows int8), so the kernel instead (1) DMAs each store
+        # target's tile-aligned window out of the pool into VMEM at the
+        # group's FIRST chunk, (2) overlays the new row (the neighbors are
+        # written back bit-identical, and a window never crosses the
+        # sequence's unsealed — hence exclusive, never shared — last block,
+        # so there is no cross-sequence hazard), and (3) DMAs the window
+        # back at the group's LAST chunk. Fetch/write-back both overlap the
+        # attention chunks; parity scratch is reused two groups later, so
+        # group gi's write-backs are waited at gi+2's first chunk (the last
+        # two groups drain at the final grid step). The attention itself
+        # never needs the stored row: the pool context excludes the current
         # token, which attends via the tail term.
+        #
+        # New rows ride pipelined VMEM blocks shaped (1, sb, lanes) — the
+        # pipeline slices only the (untiled) leading group dim, which is
+        # always legal, and rows are read at static in-block indices.
         srcs = [k_store_ref, v_store_ref] + ([sc_store_ref] if quantized else [])
         dsts = [kp_out, vp_out] + ([sc_out] if quantized else [])
+        tiles = [store_tile, store_tile] + ([scale_tile] if quantized else [])
+        bufs = [st_kbuf, st_vbuf] + ([st_scbuf] if quantized else [])
+        nst = len(srcs)
 
-        def store_copy(gi_, s_i, srow, parity, idx):
-            # src is the full [B, lanes] HBM-resident rows array;
-            # every pool (K, V, scales) is page-shaped [nb, bs, lanes]
-            return pltpu.make_async_copy(
-                srcs[idx].at[pl.ds(gi_ * sb + s_i, 1), :],
-                dsts[idx].at[srow // block_size, pl.ds(jax.lax.rem(srow, block_size), 1), :],
-                store_sems.at[parity, idx],
-            )
+        def window_copy(s_i, srow, parity, idx, to_vmem):
+            t = tiles[idx]
+            blk = srow // block_size
+            off = jax.lax.rem(srow, block_size) // t * t
+            pool_win = dsts[idx].at[blk, pl.ds(off, t), :]
+            vmem_win = bufs[idx].at[parity, s_i]
+            sem = (st_fetch_sems if to_vmem else st_put_sems).at[parity, idx]
+            if to_vmem:
+                return pltpu.make_async_copy(pool_win, vmem_win, sem)
+            return pltpu.make_async_copy(vmem_win, pool_win, sem)
 
-        def wait_stores(gi_, parity):
+        def each_store(gi_, fn):
             for s_i in range(sb):
                 srow = store_slots_ref[gi_ * sb + s_i]
                 @pl.when(srow >= 0)
                 def _(s_i=s_i, srow=srow):
-                    for idx in range(len(srcs)):
-                        store_copy(gi_, s_i, srow, parity, idx).wait()
+                    fn(s_i, srow)
+
+        def wait_puts(gi_, parity):
+            each_store(
+                gi_,
+                lambda s_i, srow: [
+                    window_copy(s_i, srow, parity, idx, False).wait() for idx in range(nst)
+                ],
+            )
 
         parity = jax.lax.rem(gi, 2)
 
+        @pl.when(c == 0)
+        def _store_fetch():
+            @pl.when(gi >= 2)
+            def _():
+                wait_puts(gi - 2, parity)
+            each_store(
+                gi,
+                lambda s_i, srow: [
+                    window_copy(s_i, srow, parity, idx, True).start() for idx in range(nst)
+                ],
+            )
+
         @pl.when(c == num_chunks - 1)
-        def _store():
-            @pl.when(gi > 0)
-            def _():
-                wait_stores(gi - 1, 1 - parity)
-            for s_i in range(sb):
-                srow = store_slots_ref[gi * sb + s_i]
-                @pl.when(srow >= 0)
-                def _(s_i=s_i, srow=srow):
-                    for idx in range(len(srcs)):
-                        store_copy(gi, s_i, srow, parity, idx).start()
+        def _store_put():
+            # the fetch sems are shared across the group's sequences, so a
+            # per-sequence wait could be satisfied by a sibling's completion:
+            # barrier ALL of the group's fetches before overlaying any window
+            each_store(
+                gi,
+                lambda s_i, srow: [
+                    window_copy(s_i, srow, parity, idx, True).wait() for idx in range(nst)
+                ],
+            )
+
+            def overlay_and_put(s_i, srow):
+                for idx in range(nst):
+                    t = tiles[idx]
+                    r = jax.lax.rem(srow, t)  # block_size % t == 0
+                    new_row = srcs[idx][0, s_i, :]
+                    rowi = jax.lax.broadcasted_iota(jnp.int32, (t, srcs[idx].shape[-1]), 0)
+                    win = bufs[idx][parity, s_i]
+                    bufs[idx][parity, s_i] = jnp.where(rowi == r, new_row[None, :], win)
+                for idx in range(nst):
+                    window_copy(s_i, srow, parity, idx, False).start()
+
+            each_store(gi, overlay_and_put)
+
             @pl.when(gi == num_groups - 1)
-            def _():
-                wait_stores(gi, parity)
+            def _drain():
+                @pl.when(gi >= 1)
+                def _():
+                    wait_puts(gi - 1, 1 - parity)
+                wait_puts(gi, parity)
 
     @pl.when(c == 0)
     def _init():
@@ -949,20 +1007,24 @@ def paged_decode_attention_v3(
     out_specs = [pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0)))]
     out_shape = [jax.ShapeDtypeStruct((b, nh, hd), q.dtype)]
     input_output_aliases = {}
+    store_tile = 32 if k_pool.dtype == jnp.int8 else 8
+    scale_tile = 8
     if store:
-        # store rows stay HBM-resident (ANY): each row store is then a pure
-        # HBM->HBM DMA, immune to the input pipeline's block rotation and to
-        # Mosaic VMEM-layout restrictions on DMA-from-pipelined-block
+        # new rows ride pipelined (1, sb, lanes) VMEM blocks — only the
+        # untiled leading group dim is sliced (always legal); the kernel
+        # writes them into the pools via tile-window read-modify-write DMAs
+        # (see _decode_kernel_v3's store block)
+        assert block_size % store_tile == 0, (block_size, store_tile)
         in_specs += [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, sb, f), _idx(lambda i, c: (i, 0, 0))),
+            pl.BlockSpec((1, sb, f), _idx(lambda i, c: (i, 0, 0))),
         ]
-        operands += [k_store, v_store]
+        operands += [k_store.reshape(b // sb, sb, f), v_store.reshape(b // sb, sb, f)]
         if quantized:
-            in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
-            operands += [sc_store]
+            in_specs += [pl.BlockSpec((1, sb, scale_lanes), _idx(lambda i, c: (i, 0, 0)))]
+            operands += [sc_store.reshape(b // sb, sb, scale_lanes)]
         # pools come back as aliased outputs (zero-copy in-place update)
-        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nbuf
+        out_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * nbuf
         out_shape += [
             jax.ShapeDtypeStruct(kp.shape, kp.dtype),
             jax.ShapeDtypeStruct(vp.shape, vp.dtype),
@@ -983,7 +1045,17 @@ def paged_decode_attention_v3(
         pltpu.SemaphoreType.DMA((2, nbuf)),
     ]
     if store:
-        scratch += [pltpu.SemaphoreType.DMA((2, nbuf))]
+        # parity-double-buffered RMW windows + fetch/put semaphores
+        scratch += [
+            pltpu.VMEM((2, sb, store_tile, f), k_pool.dtype),  # st_kbuf
+            pltpu.VMEM((2, sb, store_tile, f), v_pool.dtype),  # st_vbuf
+        ]
+        if quantized:
+            scratch += [pltpu.VMEM((2, sb, scale_tile, scale_lanes), kv_scales.dtype)]
+        scratch += [
+            pltpu.SemaphoreType.DMA((2, nbuf)),  # st_fetch_sems
+            pltpu.SemaphoreType.DMA((2, nbuf)),  # st_put_sems
+        ]
 
     prefetch = [tables, context_lens.astype(jnp.int32)]
     if has_tail:
@@ -1010,6 +1082,8 @@ def paged_decode_attention_v3(
         has_tail=has_tail,
         sb=sb,
         store=store,
+        store_tile=store_tile,
+        scale_tile=scale_tile,
         window=window,
     )
     if window is not None and has_tail:

@@ -321,7 +321,11 @@ def test_v3_fused_store_matches_separate(quant):
     from byox_vllm_tpu.ops.attention import decode_attention_store
 
     rng = np.random.default_rng(11)
-    b, nh, nkv, hd, bs = 4, 8, 4, 128, 16
+    b, nh, nkv, hd = 4, 8, 4, 128
+    # the fused path needs block_size % store_tile == 0 (32 rows for int8
+    # pools) or it falls back to separate write+attend — which would make
+    # this test vacuous
+    bs = 32 if quant else 16
     lens = [20, 5, 37, 0]  # totals INCLUDING the new token; 0 = padding row
     S = 32 * bs
     if quant:
