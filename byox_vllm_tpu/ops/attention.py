@@ -125,10 +125,12 @@ def decode_attention_store(
     quantized = len(layer_cache) == 3
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
-    # the kernel's RMW store windows (32 rows int8 / 8 rows bf16, Mosaic's
-    # DMA sublane granule) must not cross a block boundary — windows are
-    # hazard-free only within the sequence's own (exclusive) block
-    store_tile = 32 if layer_cache[0].dtype == jnp.int8 else 8
+    # the kernel's RMW store windows (8 rows, Mosaic's DMA sublane granule)
+    # must not cross a block boundary — windows are hazard-free only within
+    # the sequence's own (exclusive) block
+    import os as _os
+
+    store_tile = int(_os.environ.get("BYOX_STORE_TILE", "8"))
     if use_pallas and hd == 128 and b % 4 == 0 and block_size % store_tile == 0:
         from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
 

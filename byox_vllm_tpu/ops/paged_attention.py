@@ -27,6 +27,7 @@ paged decode path (nanovllm/layers/attention.py:88-96), designed for TPU:
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -842,10 +843,17 @@ def _decode_kernel_v3(
         if vs_heads is not None:
             # scale rows past ctx are unfetched VMEM (may be NaN): re-mask
             p = jnp.where(valid, p * vs_heads, 0.0)
-        pv = jax.lax.dot_general(
-            p.astype(cdt), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [nh, F]
+        if v.shape[0] == 1:
+            # single-key chunk (fused-store tail): the degenerate [nh,1]@[1,F]
+            # matmul is an outer product — do it on the VPU (a dot_general
+            # here also trips a Mosaic lowering bug: 'vector.broadcast'
+            # bf16->f32 verification failure on (1,F) operands)
+            pv = p * v.astype(jnp.float32)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(cdt), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [nh, F]
         pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
         acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
 
@@ -898,10 +906,20 @@ def _decode_kernel_v3(
                 vt = jnp.where(trow <= tl, vt, 0.0)
                 q = q_ref[s_i].astype(jnp.float32)
                 qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
-                s = jax.lax.dot_general(
-                    qe, kt, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale  # [nh, T]
+                if t_max == 1:
+                    # single new token (fused-store mode): [nh,F]x[1,F]
+                    # mult-reduce on the VPU — cheaper than a 1-column MXU
+                    # call, and dodges the Mosaic (1,F)-operand dot_general
+                    # verification bug (see online_update)
+                    s = jnp.sum(
+                        qe.astype(jnp.float32) * kt.astype(jnp.float32),
+                        axis=1, keepdims=True,
+                    ) * scale  # [nh, 1]
+                else:
+                    s = jax.lax.dot_general(
+                        qe, kt, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale  # [nh, T]
                 col = jax.lax.broadcasted_iota(jnp.int32, (nh, t_max), 1)
                 online_update(s_i, s, col <= tl, vt)
 
@@ -1007,8 +1025,11 @@ def paged_decode_attention_v3(
     out_specs = [pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0)))]
     out_shape = [jax.ShapeDtypeStruct((b, nh, hd), q.dtype)]
     input_output_aliases = {}
-    store_tile = 32 if k_pool.dtype == jnp.int8 else 8
-    scale_tile = 8
+    # Mosaic's DMA sublane-slice granule is 8 rows for every pool dtype
+    # (compile-probed on v5e: int8 8-row dynamic-offset slices compile too,
+    # tools/dma_probe.py Q1); overridable for on-chip experiments
+    store_tile = int(os.environ.get("BYOX_STORE_TILE", "8"))
+    scale_tile = store_tile
     if store:
         # new rows ride pipelined (1, sb, lanes) VMEM blocks — only the
         # untiled leading group dim is sliced (always legal); the kernel

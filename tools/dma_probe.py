@@ -39,7 +39,7 @@ def compile_only(name, fn, *args):
 
 
 def probe_q1(dtype, tile):
-    def kernel(slots_ref, rows, pool_in, pool_out, buf, sem):
+    def kernel(slots_ref, pool_in, pool_out, buf, sem):
         blk = slots_ref[0] // 64
         woff = (slots_ref[0] % 64) // tile * tile
         fetch = pltpu.make_async_copy(pool_out.at[blk, pl.ds(woff, tile), :], buf, sem)
@@ -81,8 +81,8 @@ def probe_q3():
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(1,),
-                in_specs=[pl.BlockSpec((B, F), lambda i: (0, 0))],
-                out_specs=pl.BlockSpec((1, F), lambda i: (0, 0)),
+                in_specs=[pl.BlockSpec((B, F), lambda i, s: (0, 0))],
+                out_specs=pl.BlockSpec((1, F), lambda i, s: (0, 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((1, F), jnp.bfloat16),
         )(slots, rows)
