@@ -114,33 +114,77 @@ def run_step(name, code=None, cmd=None, env=None, timeout=1800):
     return rec
 
 
+def chip_alive(timeout=120) -> bool:
+    """Tiny on-chip matmul in a subprocess. A wedged chip (e.g. a kernel
+    stuck on a DMA semaphore — a TPU program cannot be preempted, so a hang
+    poisons the chip for every later step until the remote runtime recycles)
+    makes this time out."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           timeout=timeout, cwd=REPO)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", default="fused,w4a8,bench06,bench8b")
+    # benches FIRST: they run known-good paths and secure the round's
+    # evidence before any experimental kernel gets a chance to wedge the chip
+    ap.add_argument("--steps", default="bench8b,headroom,fused,w4a8,ablate,bench06")
     ap.add_argument("--out", default="TPU_VALIDATION.json")
     args = ap.parse_args()
     steps = args.steps.split(",")
     results = []
-    if "fused" in steps:
-        results.append(run_step("fused_parity", FUSED_PARITY, timeout=2400))
-        results.append(run_step("fused_speed_off", FUSED_SPEED, env={"FUSED": "0"}, timeout=2400))
-        results.append(run_step("fused_speed_on", FUSED_SPEED, env={"FUSED": "1"}, timeout=2400))
-    if "w4a8" in steps:
-        results.append(run_step("w4a8", W4A8, timeout=3000))
-    if "bench06" in steps:
-        results.append(run_step(
-            "bench06", cmd=[sys.executable, "bench.py"],
-            env={"BYOX_BENCH_MODEL": "0.6b", "BYOX_BENCH_QUANT": "", "BYOX_BENCH_KV": "auto",
-                 "BYOX_BENCH_NO_CPU_FALLBACK": "1"},
-            timeout=2400,
-        ))
-    if "bench8b" in steps:
-        results.append(run_step(
-            "bench8b", cmd=[sys.executable, "bench.py"],
-            env={"BYOX_BENCH_NO_CPU_FALLBACK": "1"}, timeout=3600,
-        ))
-    with open(os.path.join(REPO, args.out), "w") as f:
-        json.dump(results, f, indent=1)
+
+    def guard(name):
+        """Probe chip health before a step; record and skip if wedged."""
+        if chip_alive():
+            return True
+        results.append({"step": name, "rc": -2, "err": "chip wedged (health probe timed out)"})
+        print(json.dumps(results[-1]), flush=True)
+        return False
+
+    for step in steps:
+        if step == "fused" and guard("fused"):
+            results.append(run_step("fused_parity", FUSED_PARITY, timeout=2400))
+            parity = results[-1]
+            ok = parity.get("rc") == 0 and parity.get("out", {}).get("ok")
+            if ok and guard("fused_speed"):
+                results.append(run_step("fused_speed_off", FUSED_SPEED, env={"FUSED": "0"}, timeout=2400))
+                results.append(run_step("fused_speed_on", FUSED_SPEED, env={"FUSED": "1"}, timeout=2400))
+        elif step == "w4a8" and guard("w4a8"):
+            results.append(run_step("w4a8", W4A8, timeout=3000))
+        elif step == "headroom" and guard("headroom"):
+            results.append(run_step(
+                "headroom", cmd=[sys.executable, "tools/measure_headroom.py",
+                                 "--model", "8b", "--quant", "int4", "--kv", "int8"],
+                timeout=2400,
+            ))
+        elif step == "ablate" and guard("ablate"):
+            results.append(run_step(
+                "ablate", cmd=[sys.executable, "tools/ablate_decode.py",
+                               "full", "noattn", "nokv", "nohead",
+                               "--model", "8b", "--quant", "int4", "--kv", "int8"],
+                timeout=3600,
+            ))
+        elif step == "bench06" and guard("bench06"):
+            results.append(run_step(
+                "bench06", cmd=[sys.executable, "bench.py"],
+                env={"BYOX_BENCH_MODEL": "0.6b", "BYOX_BENCH_QUANT": "", "BYOX_BENCH_KV": "auto",
+                     "BYOX_BENCH_NO_CPU_FALLBACK": "1"},
+                timeout=2400,
+            ))
+        elif step == "bench8b" and guard("bench8b"):
+            results.append(run_step(
+                "bench8b", cmd=[sys.executable, "bench.py"],
+                env={"BYOX_BENCH_NO_CPU_FALLBACK": "1"}, timeout=3600,
+            ))
+        # write incrementally: a later wedge must not lose earlier evidence
+        with open(os.path.join(REPO, args.out), "w") as f:
+            json.dump(results, f, indent=1)
     print(f"# wrote {args.out}")
 
 
