@@ -778,37 +778,45 @@ def _decode_kernel_v3(
                 ],
             )
 
-        @pl.when(c == num_chunks - 1)
-        def _store_put():
-            # the fetch sems are shared across the group's sequences, so a
-            # per-sequence wait could be satisfied by a sibling's completion:
-            # barrier ALL of the group's fetches before overlaying any window
-            each_store(
-                gi,
-                lambda s_i, srow: [
-                    window_copy(s_i, srow, parity, idx, True).wait() for idx in range(nst)
-                ],
-            )
+        def emit_store_put():
+            # Emitted AFTER the chunk's attention compute (see the call site
+            # below): with num_chunks == 1 — the common serving geometry —
+            # fetch and wait would otherwise sit back-to-back at the top of
+            # the body, exposing the full window-fetch DMA latency on every
+            # group (~1-2 us x B/sb groups x layers adds up to >1 ms/step at
+            # 8B). Ordered after the matmuls, the fetch hides under them.
+            @pl.when(c == num_chunks - 1)
+            def _store_put():
+                # the fetch sems are shared across the group's sequences, so
+                # a per-sequence wait could be satisfied by a sibling's
+                # completion: barrier ALL of the group's fetches before
+                # overlaying any window
+                each_store(
+                    gi,
+                    lambda s_i, srow: [
+                        window_copy(s_i, srow, parity, idx, True).wait() for idx in range(nst)
+                    ],
+                )
 
-            def overlay_and_put(s_i, srow):
-                for idx in range(nst):
-                    t = tiles[idx]
-                    r = jax.lax.rem(srow, t)  # block_size % t == 0
-                    new_row = srcs[idx][0, s_i, :]
-                    rowi = jax.lax.broadcasted_iota(jnp.int32, (t, srcs[idx].shape[-1]), 0)
-                    win = bufs[idx][parity, s_i]
-                    bufs[idx][parity, s_i] = jnp.where(rowi == r, new_row[None, :], win)
-                for idx in range(nst):
-                    window_copy(s_i, srow, parity, idx, False).start()
+                def overlay_and_put(s_i, srow):
+                    for idx in range(nst):
+                        t = tiles[idx]
+                        r = jax.lax.rem(srow, t)  # block_size % t == 0
+                        new_row = srcs[idx][0, s_i, :]
+                        rowi = jax.lax.broadcasted_iota(jnp.int32, (t, srcs[idx].shape[-1]), 0)
+                        win = bufs[idx][parity, s_i]
+                        bufs[idx][parity, s_i] = jnp.where(rowi == r, new_row[None, :], win)
+                    for idx in range(nst):
+                        window_copy(s_i, srow, parity, idx, False).start()
 
-            each_store(gi, overlay_and_put)
+                each_store(gi, overlay_and_put)
 
-            @pl.when(gi == num_groups - 1)
-            def _drain():
-                @pl.when(gi >= 1)
-                def _():
-                    wait_puts(gi - 1, 1 - parity)
-                wait_puts(gi, parity)
+                @pl.when(gi == num_groups - 1)
+                def _drain():
+                    @pl.when(gi >= 1)
+                    def _():
+                        wait_puts(gi - 1, 1 - parity)
+                    wait_puts(gi, parity)
 
     @pl.when(c == 0)
     def _init():
@@ -922,6 +930,9 @@ def _decode_kernel_v3(
                     ) * scale  # [nh, T]
                 col = jax.lax.broadcasted_iota(jnp.int32, (nh, t_max), 1)
                 online_update(s_i, s, col <= tl, vt)
+
+    if store:
+        emit_store_put()
 
     @pl.when(last_chunk)
     def _finish():

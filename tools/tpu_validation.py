@@ -114,7 +114,7 @@ def run_step(name, code=None, cmd=None, env=None, timeout=1800):
     return rec
 
 
-def chip_alive(timeout=120) -> bool:
+def chip_alive(timeout=360) -> bool:
     """Tiny on-chip matmul in a subprocess. A wedged chip (e.g. a kernel
     stuck on a DMA semaphore — a TPU program cannot be preempted, so a hang
     poisons the chip for every later step until the remote runtime recycles)
