@@ -55,10 +55,23 @@ def main():
     est = estimate_activation_bytes(runner.spec, config)
 
     bs = runner.block_size
-    b = max(8, args.seqs)
-    t = min(args.budget, config.max_model_len)
     w = runner.table_buckets[-1]
     key = jax.random.PRNGKey(0)
+
+    # Reachable prefill buckets only: the scheduler's padded-shape admission
+    # caps bucket(num_seqs) x bucket(chunk) at max_num_batched_tokens (for
+    # budgets >= 1024), so the largest real prefill programs lie on the
+    # s x t == budget diagonal — lowering (max_num_seqs x max_model_len)
+    # instead asks XLA about a shape the engine can never run (and OOMs the
+    # analysis at 8B).
+    t_max = min(args.budget, config.max_model_len)
+    pairs = [(8, t_max)]  # a SINGLE long seq may fill the whole budget
+    s = 16
+    while s <= args.seqs:
+        t = min(t_max, max(16, args.budget // s))
+        if s * t <= max(args.budget, s * 16):
+            pairs.append((s, t))
+        s *= 2
 
     def analyze(name, fn, *arrs):
         lowered = fn.lower(runner.params, runner.kv_cache, *arrs)
@@ -81,22 +94,23 @@ def main():
         return temp or 0
 
     peak = 0
-    # largest prefill bucket
-    prefill_args = (
-        jnp.zeros((b, t), jnp.int32),
-        jnp.full((b,), 1, jnp.int32),
-        jnp.full((b,), 1, jnp.int32),
-        jnp.full((b, t), -1, jnp.int32),
-        jnp.full((b, w), -1, jnp.int32),
-        jnp.ones((b,), jnp.float32),
-        key,
-        None,
-        None,
-        None,
-    )
     if runner.tp == 1 and runner.dp == 1:
-        peak = max(peak, analyze("prefill_max", runner._step, *prefill_args))
+        for s, t in pairs:
+            prefill_args = (
+                jnp.zeros((s, t), jnp.int32),
+                jnp.full((s,), 1, jnp.int32),
+                jnp.full((s,), 1, jnp.int32),
+                jnp.full((s, t), -1, jnp.int32),
+                jnp.full((s, w), -1, jnp.int32),
+                jnp.ones((s,), jnp.float32),
+                key,
+                None,
+                None,
+                None,
+            )
+            peak = max(peak, analyze(f"prefill_{s}x{t}", runner._step, *prefill_args))
         # largest decode bucket (multi-step window)
+        b = max(8, args.seqs)
         k = config.num_decode_steps
         decode_args = (
             jnp.zeros((b,), jnp.int32),
