@@ -227,6 +227,51 @@ def run_e(xlo, xhi, wq4, slo, shi, tk=1024, tm=512):
     )(xlo, xhi, wq4, slo, shi)
 
 
+# --------------------------------------------------------------- variant F
+# int4 production packing (row-pair interleave), hardware nibble bitcast
+# straight to bf16 (ONE convert, no scale multiply on weight elements), then
+# per-GROUP bf16 MXU matmuls with f32 post-scaling of the [N, tm] partials.
+# Dequant VPU cost drops from ~3 ops/weight-elem (f32 convert, scale mul,
+# bf16 convert) to ~1; the scale lands on N*tm*gpt partial elements instead
+# (N/G = 1x at N=128, and those muls fuse into the accumulate).
+def _kern_f(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpt):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = pltpu.bitcast(w_ref[...], jnp.int4).astype(jnp.bfloat16)  # [tk, tm]
+    for g in range(gpt):
+        part = jax.lax.dot(
+            x_ref[:, g * G:(g + 1) * G], w[g * G:(g + 1) * G, :],
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += part * s_ref[g, :][None, :]
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+
+def run_f(x, wq4, s, tk=2048, tm=512):
+    kh, m = wq4.shape  # kh = K/2 packed byte rows
+    k = kh * 2
+    gpt = tk // G
+    return pl.pallas_call(
+        functools.partial(_kern_f, gpt=gpt),
+        grid=(m // tm, k // tk),
+        in_specs=[
+            pl.BlockSpec((N, tk), lambda i, j: (0, j)),
+            pl.BlockSpec((tk // 2, tm), lambda i, j: (j, i)),
+            pl.BlockSpec((gpt, tm), lambda i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((N, tm), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((N, m), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((N, tm), jnp.float32)],
+    )(x, wq4, s)
+
+
 # --------------------------------------------------------------- baselines
 def run_bf16(x, w):
     return x @ w
@@ -250,7 +295,7 @@ def main():
     xqlo, xqhi = xq[:, : K // 2], xq[:, K // 2:]
 
     results = {}
-    which = sys.argv[1:] or ["bf16", "a", "b", "c", "d", "e"]
+    which = sys.argv[1:] or ["bf16", "a", "b", "c", "d", "e", "f", "p"]
     if "bf16" in which:
         ms, _ = timeit(jax.jit(run_bf16), x, wbf)
         results["bf16 dense (XLA)"] = (ms, wbf.nbytes)
@@ -269,6 +314,15 @@ def main():
     if "e" in which:
         ms, _ = timeit(jax.jit(run_e), xqlo, xqhi, w4, sg, sg)
         results["E int4 s8 group post"] = (ms, w4.nbytes)
+    if "f" in which:
+        ms, _ = timeit(jax.jit(run_f), x, w4, s)
+        results["F int4 bitcast grp post"] = (ms, w4.nbytes)
+    if "p" in which:
+        from byox_vllm_tpu.ops.quant import quant_matmul_pallas
+
+        f = jax.jit(lambda x_, w_, s_: quant_matmul_pallas(x_, w_, s_, bits=4))
+        ms, _ = timeit(f, x, w4, s)
+        results["P production int4 qmm"] = (ms, w4.nbytes)
     for name, (ms, nbytes) in results.items():
         print(f"{name:28s}: {ms:7.3f} ms  {nbytes/(ms/1e3)/1e9:6.0f} GB/s", flush=True)
 
