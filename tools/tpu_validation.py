@@ -135,11 +135,17 @@ def run_step(name, code=None, cmd=None, env=None, timeout=1800):
     return rec
 
 
-def chip_alive(timeout=360) -> bool:
+def chip_alive(timeout=720) -> bool:
     """Tiny on-chip matmul in a subprocess. A wedged chip (e.g. a kernel
     stuck on a DMA semaphore — a TPU program cannot be preempted, so a hang
     poisons the chip for every later step until the remote runtime recycles)
-    makes this time out."""
+    makes this time out.
+
+    The timeout must be GENEROUS: a new client first waits in the terminal
+    claim queue behind any stale claims of dead clients (each expires only
+    after its claim timeout), so minutes of queueing is normal operation
+    after killed runs — killing a merely-queued probe adds ANOTHER stale
+    claim and compounds the backlog. Never run two probes concurrently."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
     try:
