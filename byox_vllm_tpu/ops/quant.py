@@ -23,6 +23,7 @@ int4).
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -164,7 +165,8 @@ def _unpack_tile(raw, bits: int, interpret: bool):
 
 
 def _qmm_kernel(
-    x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, group_size, out_dtype, interpret
+    x_ref, wq_ref, s_ref, o_ref, acc_ref, *, bits, groups_per_tile, group_size, out_dtype,
+    interpret, post_scale=False,
 ):
     k = pl.program_id(2)
     num_k = pl.num_programs(2)
@@ -174,19 +176,43 @@ def _qmm_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if bits == 8:
-        w = wq_ref[...].astype(jnp.float32)  # [gpt*gsize, TM]
+    if post_scale:
+        # Dequant-light path: convert the weight tile ONCE (int4/int8 ->
+        # bf16, no per-element scale multiply) and run one MXU matmul per
+        # quantization group, scaling the [TN, TM] partial into the f32
+        # accumulator instead. VPU cost drops from ~3 ops per weight
+        # element (f32 convert, scale mul, bf16 convert) to ~1; the scale
+        # lands on TN*TM*gpt partial elements (TN/group_size ~ 1x at
+        # decode batch 128, and the mul fuses into the accumulate). Same
+        # MXU tile count: contraction splits at group_size = 128 lanes.
+        if bits == 8:
+            w = wq_ref[...].astype(jnp.bfloat16)
+        elif interpret:
+            w = _unpack_tile(wq_ref[...], bits, interpret).astype(jnp.bfloat16)
+        else:
+            w = pltpu.bitcast(wq_ref[...], jnp.int4).astype(jnp.bfloat16)
+        x = x_ref[...].astype(jnp.bfloat16)
+        scales = s_ref[...]
+        for g in range(groups_per_tile):
+            rows = slice(g * group_size, (g + 1) * group_size)
+            part = jax.lax.dot(
+                x[:, rows], w[rows, :], preferred_element_type=jnp.float32
+            )
+            acc_ref[...] += part * scales[g, :][None, :]
     else:
-        w = _unpack_tile(wq_ref[...], bits, interpret)
-    w = w.reshape(groups_per_tile, group_size, tm)
-    # scale rows for this k-tile's groups arrive pre-blocked [gpt, TM]
-    # (blocking them via the grid keeps Mosaic slices statically aligned;
-    # an in-kernel pl.ds at k*gpt fails to compile when gpt % 8 != 0)
-    scales = s_ref[...]
-    w = (w * scales[:, None, :]).reshape(groups_per_tile * group_size, tm).astype(jnp.bfloat16)
-    acc_ref[...] += jax.lax.dot(
-        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
+        if bits == 8:
+            w = wq_ref[...].astype(jnp.float32)  # [gpt*gsize, TM]
+        else:
+            w = _unpack_tile(wq_ref[...], bits, interpret)
+        w = w.reshape(groups_per_tile, group_size, tm)
+        # scale rows for this k-tile's groups arrive pre-blocked [gpt, TM]
+        # (blocking them via the grid keeps Mosaic slices statically aligned;
+        # an in-kernel pl.ds at k*gpt fails to compile when gpt % 8 != 0)
+        scales = s_ref[...]
+        w = (w * scales[:, None, :]).reshape(groups_per_tile * group_size, tm).astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot(
+            x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        )
 
     @pl.when(k == num_k - 1)
     def _():
@@ -268,10 +294,11 @@ def quant_matmul_pallas(
     num_n, num_m, num_k = n // tn, m // tm, k // tk
     pack = 1 if bits == 8 else 2
 
+    post_scale = os.environ.get("BYOX_QMM_POST_SCALE", "0") == "1"
     return pl.pallas_call(
         functools.partial(
             _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize,
-            out_dtype=out_dtype, interpret=interpret,
+            out_dtype=out_dtype, interpret=interpret, post_scale=post_scale,
         ),
         grid=(num_n, num_m, num_k),
         in_specs=[
