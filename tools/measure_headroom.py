@@ -69,7 +69,7 @@ def main():
     s = 16
     while s <= args.seqs:
         t = min(t_max, max(16, args.budget // s))
-        if s * t <= max(args.budget, s * 16):
+        if s * t <= args.budget:  # the admission check's padded-shape cap
             pairs.append((s, t))
         s *= 2
 
