@@ -91,7 +91,7 @@ def main():
             attn_backend = "dense"
 
         if variant == "noattn":
-            def attend(q, kp, vp, bt, cl, pos, bs, scale, kv_scales=None):
+            def attend(q, kp, vp, bt, cl, pos, bs, scale, kv_scales=None, window=None):
                 return q  # skip attention entirely
         elif variant == "nokv":
             # attention over the pool but no KV writes: monkeypatched below

@@ -21,12 +21,39 @@ N = 128
 G = 128
 
 
-def timeit(f, *args, iters=30):
-    r = f(*args)
+def timeit(f, *args, iters=24):
+    """Time a SCAN of `iters` chained calls inside ONE dispatched program.
+
+    Per-dispatch loops are useless through the axon tunnel: it batches
+    queued dispatches of the same executable (weight reads amortize across
+    the batch — measured an impossible 5.7 TB/s), and identical dispatches
+    are memoized outright. A lax.scan with a varying activation and a
+    carried reduction forces `iters` sequential weight streams on device;
+    host round-trip amortizes across the whole chain."""
+    x0 = args[0]
+    xs = jnp.stack([x0 + jnp.asarray(i + 1, x0.dtype) for i in range(iters)])
+
+    kdim = x0.shape[-1]
+
+    @jax.jit
+    def chain(xs_, *rest):
+        # Feed each output back into the next activation: (a) serializes
+        # the scan (true sequential weight streams), (b) defeats XLA's
+        # algebraic collapse of sum(x @ w) into two cheap reductions.
+        def body(c, x):
+            r = f((x + c).astype(x.dtype), *rest)
+            c_next = (r[:, :kdim].astype(jnp.float32) * 1e-6)
+            return c_next, None
+
+        c, _ = jax.lax.scan(body, jnp.zeros_like(x0, jnp.float32), xs_)
+        return c
+
+    xs2 = xs + jnp.asarray(100, x0.dtype)  # timed call must differ (memoization)
+    jax.block_until_ready(xs2)
+    r = chain(xs, *args[1:])
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(*args)
+    r = chain(xs2, *args[1:])
     jax.block_until_ready(r)
     return (time.perf_counter() - t0) / iters * 1e3, r
 
