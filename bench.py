@@ -171,19 +171,23 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
     llm.scheduler.decode_lookahead = min(serve_k, saved_k)
     rng = random.Random(seed)
     prompts, sampling = _workload(num_seqs, seed=seed)
-    if serve_k < saved_k:
-        # compile the serving-K decode programs at every batch bucket the
-        # timed loop can hit (the offline warmup only compiled the
-        # K=saved_k window shapes; a mid-run compile would be charged to
-        # some request's TTFT)
-        warm_p, warm_s = _workload(num_seqs, seed=seed + 1)
-        llm.generate(warm_p, warm_s, use_tqdm=False)
+    # Calibrate capacity in ARRIVAL mode (K=serve_k windows + prefill
+    # interleave), not from the offline K=16 number: offline capacity is
+    # higher, so pacing 0.65 x offline overloads the K=4 system and the
+    # queue diverges (r3: p99 TTFT 13.5 s on an 18.9 s run — the number
+    # measured overload, not the engine). This closed-loop pass doubles as
+    # the compile warmup for every serving-K batch bucket the timed loop
+    # can hit (a mid-run compile would be charged to some request's TTFT).
+    warm_p, warm_s = _workload(num_seqs, seed=seed + 1)
+    t0 = time.perf_counter()
+    llm.generate(warm_p, warm_s, use_tqdm=False)
+    serve_capacity = sum(sp.max_tokens for sp in warm_s) / (time.perf_counter() - t0)
     # arrival-mode prefills land one request at a time (smallest batch
     # bucket), a shape the batched warmups above never hit
     solo_p, solo_s = _workload(1, seed=seed + 2)
     llm.generate(solo_p, solo_s, use_tqdm=False)
     avg_out = sum(sp.max_tokens for sp in sampling) / len(sampling)
-    rate = util * tok_s_capacity / avg_out  # requests / s
+    rate = util * serve_capacity / avg_out  # requests / s
     t, arrivals = 0.0, []
     for _ in range(num_seqs):
         t += rng.expovariate(rate)
@@ -206,6 +210,7 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
     msum = llm.metrics.summary()
     return {
         "arrival_rate_rps": round(rate, 3),
+        "arrival_capacity_tok_s": round(serve_capacity, 1),
         "arrival_util": util,
         "arrival_decode_window": min(serve_k, saved_k),
         "arrival_num_seqs": num_seqs,
@@ -220,38 +225,59 @@ def _run_prefix_phase(llm, num_seqs: int, seed: int = 5) -> dict:
     """Shared-system-prompt workload: every request shares a 128-token
     prefix (block-aligned) plus a short unique suffix, exercising the
     hash-chained prefix cache (block reuse + freed-block resurrection,
-    reference block_manager.py:41-71) under serving load. Reports the
-    cache-hit fraction and the TTFT/throughput win it buys."""
+    reference block_manager.py:41-71) under serving load.
+
+    Two arms, same prompt shapes: (a) UNIQUE per-request prefixes — no
+    sharing possible, the cold baseline; (b) one SHARED prefix — the cache
+    serves it. Both run after a throwaway same-shape warmup so neither arm
+    pays XLA compiles (the r3 phase hit a never-warmed 256-token prefill
+    bucket and timed an 11 s compile as TTFT). The cached-token fraction is
+    read from EngineMetrics (captured at schedule time — deallocate zeroes
+    per-seq counts, the other r3 bug)."""
+    from byox_vllm_tpu.engine.metrics import EngineMetrics
     from byox_vllm_tpu.sampling_params import SamplingParams
 
     rng = random.Random(seed)
     bs = llm.config.kvcache_block_size
     prefix_len = max(bs * 2, 128 // bs * bs)  # block-aligned shared prefix
-    prefix = [rng.randint(0, 10000) for _ in range(prefix_len)]
-    prompts = [
-        prefix + [rng.randint(0, 10000) for _ in range(8)] for _ in range(num_seqs)
-    ]
-    sp = [SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=32)
-          for _ in range(num_seqs)]
-    # warm the cache with one request so the timed batch hits it
-    llm.generate([prompts[0]], sp[:1], use_tqdm=False)
-    from byox_vllm_tpu.engine.metrics import EngineMetrics
 
-    llm.metrics = EngineMetrics()
-    seqs = []
-    t0 = time.perf_counter()
-    for p, s in zip(prompts, sp):
-        seqs.append(llm.add_request(p, s))
-    while not llm.is_finished():
-        llm.step()
-    wall = time.perf_counter() - t0
-    cached = sum(s.num_cached_tokens for s in seqs)
-    total_prompt = sum(len(p) for p in prompts)
-    msum = llm.metrics.summary()
+    def make_prompts(shared: bool):
+        pre = [rng.randint(0, 10000) for _ in range(prefix_len)]
+        out = []
+        for _ in range(num_seqs):
+            if not shared:
+                pre = [rng.randint(0, 10000) for _ in range(prefix_len)]
+            out.append(pre + [rng.randint(0, 10000) for _ in range(8)])
+        return out
+
+    def sp():
+        return [SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=32)
+                for _ in range(num_seqs)]
+
+    def run(prompts) -> dict:
+        llm.metrics = EngineMetrics()
+        t0 = time.perf_counter()
+        for p, s in zip(prompts, sp()):
+            llm.add_request(p, s)
+        while not llm.is_finished():
+            llm.step()
+        wall = time.perf_counter() - t0
+        m = llm.metrics.summary()
+        return {
+            "frac": m["prefix_cached_token_frac"],
+            "ttft_p50_s": m["ttft_p50_s"],
+            "tok_s": round(num_seqs * 32 / wall, 1),
+        }
+
+    run(make_prompts(False))  # warmup: compiles this phase's shape buckets
+    cold = run(make_prompts(False))
+    shared = run(make_prompts(True))
     return {
-        "prefix_cached_token_frac": round(cached / max(total_prompt, 1), 3),
-        "prefix_ttft_p50_s": msum["ttft_p50_s"],
-        "prefix_tok_s": round(num_seqs * 32 / wall, 1),
+        "prefix_cached_token_frac": shared["frac"],
+        "prefix_ttft_p50_s": shared["ttft_p50_s"],
+        "prefix_tok_s": shared["tok_s"],
+        "prefix_cold_ttft_p50_s": cold["ttft_p50_s"],
+        "prefix_cold_tok_s": cold["tok_s"],
     }
 
 

@@ -166,6 +166,15 @@ class LLMEngine:
         if not seqs:
             return [], 0
         prefill_tokens = sum(s.scheduled_chunk for s in seqs) if is_prefill else 0
+        if is_prefill:
+            # prefix-cache accounting must happen NOW: deallocate zeroes
+            # num_cached_tokens, so post-run reads always see 0
+            for s in seqs:
+                # first chunk of this prefill (allocate() starts computed at
+                # cached; later chunks advance computed past it)
+                if s.num_computed_tokens == s.num_cached_tokens:
+                    self.metrics.prompt_tokens += s.num_tokens
+                    self.metrics.cached_prompt_tokens += s.num_cached_tokens
         if not is_prefill and self.proposer is not None:
             max_draft = self.scheduler.last_lookahead - 1
             if hasattr(self.proposer, "propose_all"):  # draft-model proposer

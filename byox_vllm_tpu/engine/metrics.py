@@ -16,6 +16,12 @@ class EngineMetrics:
     prefill_tokens: int = 0
     decode_tokens: int = 0
     num_finished: int = 0
+    # prefix-cache accounting, captured at SCHEDULE time (a finished seq's
+    # num_cached_tokens is zeroed by deallocate, so reading it post-run
+    # always reports 0 — the r3 bench bug): prompt tokens admitted for
+    # prefill and how many of them were served from the prefix cache
+    prompt_tokens: int = 0
+    cached_prompt_tokens: int = 0
     # roofline accounting: engine-loop wall time split by phase, and the
     # number of MODEL decode steps (a multi-step dispatch of lookahead K
     # counts K — each runs the full weight stream once)
@@ -43,6 +49,13 @@ class EngineMetrics:
             "num_finished_requests": self.num_finished,
             "prefill_tokens": self.prefill_tokens,
             "decode_tokens": self.decode_tokens,
+            "prompt_tokens": self.prompt_tokens,
+            "cached_prompt_tokens": self.cached_prompt_tokens,
+            "prefix_cached_token_frac": (
+                round(self.cached_prompt_tokens / self.prompt_tokens, 4)
+                if self.prompt_tokens
+                else None
+            ),
             "ttft_p50_s": self._pct(self.ttft_s, 50),
             "ttft_p99_s": self._pct(self.ttft_s, 99),
             "latency_p50_s": self._pct(self.latency_s, 50),

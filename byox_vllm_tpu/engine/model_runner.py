@@ -51,9 +51,27 @@ from byox_vllm_tpu.parallel.shardings import kv_cache_spec, qwen3_param_specs, s
 from byox_vllm_tpu.utils.loader import param_bytes
 from byox_vllm_tpu.utils.logging import logger
 
-# Decode batch buckets — same role as the reference's CUDA-graph capture sizes
-# (model_runner.py:269). Compilation happens lazily per bucket and is cached.
-_DEFAULT_HBM_BYTES = 16 * 1024**3  # TPU v5e
+# Per-chip HBM by TPU generation, for platforms whose PJRT plugin implements
+# no memory_stats (the axon tunnel). Sources: public TPU system specs.
+_HBM_BY_DEVICE_KIND = [
+    ("v5 lite", 16),  # v5e
+    ("v5litepod", 16),
+    ("v5e", 16),
+    ("v5p", 95),
+    ("v6 lite", 32),  # Trillium
+    ("v6e", 32),
+    ("v4", 32),
+    ("v3", 32),
+    ("v2", 16),
+]
+
+
+def _hbm_bytes_from_device_kind(kind: str) -> int | None:
+    k = (kind or "").lower()
+    for name, gib in _HBM_BY_DEVICE_KIND:
+        if name in k:
+            return gib * 1024**3
+    return None
 
 
 def estimate_activation_bytes(spec, config) -> int:
@@ -75,8 +93,13 @@ def estimate_activation_bytes(spec, config) -> int:
     """
     # padded prefill token cap: the scheduler's padded admission keeps
     # B_bucket x chunk_bucket <= max_num_batched_tokens for serving-scale
-    # budgets (engine/scheduler.py); tiny test budgets floor at one bucket
-    tokens = max(config.max_num_batched_tokens, 8 * 16)
+    # budgets (engine/scheduler.py); tiny test budgets floor at one bucket.
+    # PER-DEVICE accounting: under data parallelism each device runs one
+    # lane's rows (the runner shards the batch over 'data'), so both the
+    # token budget and the sampling batch divide by dp — sizing headroom
+    # from the GLOBAL budget would starve the KV pool dp-fold (r3 weak #6).
+    dp = max(1, config.data_parallel_size)
+    tokens = max(-(-config.max_num_batched_tokens // dp), 8 * 16)
     h, inter = spec.hidden_size, spec.intermediate_size
     if getattr(spec, "num_experts", None):
         # routed MLP: N*K token-expert rows through the grouped matmuls
@@ -86,7 +109,7 @@ def estimate_activation_bytes(spec, config) -> int:
     if config.attention_backend == "dense":
         tq = min(tokens, config.max_model_len)
         act += 4 * spec.num_heads * tq * config.max_model_len
-    b = max(8, config.max_num_seqs)
+    b = max(8, -(-config.max_num_seqs // dp))  # per-device (lane) rows
     logit_copies = 3  # logits + gumbel/argmax temp + top-k/p sort copy
     act += 4 * b * spec.vocab_size * logit_copies
     sc = config.speculative_config
@@ -199,7 +222,13 @@ class ModelRunner:
         self.pp = config.pipeline_parallel_size
         if self.pp > 1:
             assert self.spec.num_layers % self.pp == 0, (self.spec.num_layers, self.pp)
-            assert config.speculative_config is None, "pp + speculative decoding TBD"
+            # ngram/draft-model spec decode composes with pp: the verify step
+            # calls forward_pp with all_logits=True (signature-compatible).
+            # EAGLE needs capture_hidden through the pipeline register — TBD.
+            sc_ = config.speculative_config
+            assert sc_ is None or getattr(sc_, "method", None) != "eagle", (
+                "eagle speculative decoding under pp TBD"
+            )
             assert not config.window_staged_decode and not config.fused_decode_store, (
                 "pp supports the standard KV store path only"
             )
@@ -503,17 +532,22 @@ class ModelRunner:
             pass
         if os.environ.get("BYOX_HBM_BYTES"):
             limit = int(os.environ["BYOX_HBM_BYTES"])
-        elif limit is None:
-            # platform reports no memory stats: fall back to the v5e size —
-            # WRONG on larger chips (v5p 95 GiB, v4 32 GiB); override with
-            # BYOX_HBM_BYTES or pass num_kvcache_blocks explicitly
-            limit = _DEFAULT_HBM_BYTES
-            if dev.platform != "cpu":
-                logger.warning(
-                    "device reports no memory stats; assuming %.0f GiB HBM "
-                    "(v5e) — set BYOX_HBM_BYTES for other chips",
-                    limit / 1024**3,
+        elif limit is None and dev.platform != "cpu":
+            # The platform reports no memory stats (the tunneled PJRT plugin
+            # doesn't implement them): derive HBM from the chip generation.
+            # A silently-wrong default would mis-size the pool on v4/v5p
+            # (r2/r3 finding) — unknown chips are a hard error instead.
+            limit = _hbm_bytes_from_device_kind(getattr(dev, "device_kind", ""))
+            if limit is None:
+                raise RuntimeError(
+                    f"device {getattr(dev, 'device_kind', dev.platform)!r} reports no "
+                    "memory stats and is not a known TPU generation; set "
+                    "BYOX_HBM_BYTES=<per-chip HBM bytes> or pass num_kvcache_blocks"
                 )
+            logger.info(
+                "no memory stats; HBM %.0f GiB inferred from device_kind %r",
+                limit / 1024**3, dev.device_kind,
+            )
         if dev.platform == "cpu":
             return 2048  # tests / CPU dev: fixed small pool
         weights = param_bytes(self.params)

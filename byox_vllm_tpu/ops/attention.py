@@ -145,6 +145,7 @@ def decode_attention_store(
                 v_tail=v_new.astype(jnp.bfloat16)[:, None],
                 tail_len=jnp.int32(0),
                 store_slots=slots, k_store=kq, v_store=vq, sc_store=sc_rows,
+                store_tile=store_tile,
             )
             o, kp, vp, sc = out
             return o, (kp, vp, sc)
@@ -158,6 +159,7 @@ def decode_attention_store(
             v_tail=v_new.astype(layer_cache[1].dtype)[:, None],
             tail_len=jnp.int32(0),
             store_slots=slots, k_store=kq, v_store=vq,
+            store_tile=store_tile,
         )
         return o, (kp, vp)
     # fallback: separate write + attend (CPU / unsupported shapes)

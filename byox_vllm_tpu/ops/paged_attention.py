@@ -951,7 +951,8 @@ def _decode_kernel_v3(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step", "window"
+        "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step",
+        "window", "store_tile",
     ),
 )
 def paged_decode_attention_v3(
@@ -975,6 +976,7 @@ def paged_decode_attention_v3(
     v_store=None,
     sc_store=None,  # [B, SCALE_LANES] bf16 scale rows (int8 pools)
     window: int | None = None,  # sliding-window attention (band mask + DMA skip)
+    store_tile: int | None = None,  # RMW window rows; None reads BYOX_STORE_TILE
 ):
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -1038,8 +1040,11 @@ def paged_decode_attention_v3(
     input_output_aliases = {}
     # Mosaic's DMA sublane-slice granule is 8 rows for every pool dtype
     # (compile-probed on v5e: int8 8-row dynamic-offset slices compile too,
-    # tools/dma_probe.py Q1); overridable for on-chip experiments
-    store_tile = int(os.environ.get("BYOX_STORE_TILE", "8"))
+    # tools/dma_probe.py Q1). Passed as a STATIC arg by callers so the jit
+    # cache keys on it; the env fallback here is for direct experiments only
+    # (its value bakes into the first trace per shape — ADVICE r3).
+    if store_tile is None:
+        store_tile = int(os.environ.get("BYOX_STORE_TILE", "8"))
     scale_tile = store_tile
     if store:
         # new rows ride pipelined (1, sb, lanes) VMEM blocks — only the

@@ -219,9 +219,6 @@ def _qmm_kernel(
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bits", "interpret", "tile_m", "tile_k", "out_dtype")
-)
 def quant_matmul_pallas(
     x: jnp.ndarray,  # [N, K]
     wq: jnp.ndarray,  # [K, M] int8 or [K/2, M] nibble-packed int4
@@ -232,6 +229,34 @@ def quant_matmul_pallas(
     tile_m: int = 1024,  # measured best at 8B shapes (fewer grid steps)
     tile_k: int = 2048,
     out_dtype=None,  # default: x.dtype (f32 for the lm head: logits precision)
+    post_scale: bool | None = None,  # None: read BYOX_QMM_POST_SCALE here
+) -> jnp.ndarray:
+    # the env flag is resolved OUTSIDE the jitted impl so the jit cache keys
+    # on its value (an in-jit read bakes the first trace's value per shape,
+    # silently reusing the wrong variant in A/B sweeps — ADVICE r3)
+    if post_scale is None:
+        post_scale = os.environ.get("BYOX_QMM_POST_SCALE", "0") == "1"
+    return _quant_matmul_pallas(
+        x, wq, scales, bits=bits, interpret=interpret, tile_m=tile_m,
+        tile_k=tile_k, out_dtype=out_dtype, post_scale=post_scale,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "interpret", "tile_m", "tile_k", "out_dtype", "post_scale"),
+)
+def _quant_matmul_pallas(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    scales: jnp.ndarray,
+    *,
+    bits: int,
+    interpret: bool = False,
+    tile_m: int = 1024,
+    tile_k: int = 2048,
+    out_dtype=None,
+    post_scale: bool = False,
 ) -> jnp.ndarray:
     n, k = x.shape
     m = wq.shape[-1]
@@ -294,7 +319,6 @@ def quant_matmul_pallas(
     num_n, num_m, num_k = n // tn, m // tm, k // tk
     pack = 1 if bits == 8 else 2
 
-    post_scale = os.environ.get("BYOX_QMM_POST_SCALE", "0") == "1"
     return pl.pallas_call(
         functools.partial(
             _qmm_kernel, bits=bits, groups_per_tile=gpt, group_size=gsize,

@@ -66,3 +66,34 @@ def test_8b_int4_kvint8_fits_16gb_at_256_seqs():
     blocks = budget // (per_token * config.kvcache_block_size)
     # a useful pool: at least 64 tokens of KV per sequence at 256 seqs
     assert blocks * config.kvcache_block_size >= 256 * 64, (weights, act, blocks)
+
+
+def test_headroom_divides_across_dp_lanes():
+    """Data parallelism: each device runs ONE lane's rows, so the headroom
+    must be sized from per-lane budgets, not global ones (r3 weak #6 — the
+    global-budget estimate starved the KV pool dp-fold)."""
+    from dataclasses import replace
+
+    from byox_vllm_tpu.config import Config
+    from byox_vllm_tpu.engine.model_runner import estimate_activation_bytes
+
+    spec = _spec_8b()
+    base = dict(hf_config={"model_type": "qwen3", "max_position_embeddings": 4096},
+                max_num_batched_tokens=8192, max_num_seqs=512)
+    one = Config(**base, data_parallel_size=1)
+    four = Config(**base, data_parallel_size=4)
+    a1 = estimate_activation_bytes(spec, one)
+    a4 = estimate_activation_bytes(spec, four)
+    assert a4 < a1
+    # the per-lane estimate must match a dp=1 config with lane-sized budgets
+    lane = Config(**{**base, "max_num_batched_tokens": 2048, "max_num_seqs": 128})
+    assert a4 == estimate_activation_bytes(spec, lane)
+
+
+def test_hbm_from_device_kind():
+    from byox_vllm_tpu.engine.model_runner import _hbm_bytes_from_device_kind
+
+    assert _hbm_bytes_from_device_kind("TPU v5 lite") == 16 * 1024**3
+    assert _hbm_bytes_from_device_kind("TPU v5p") == 95 * 1024**3
+    assert _hbm_bytes_from_device_kind("TPU v4") == 32 * 1024**3
+    assert _hbm_bytes_from_device_kind("warp drive") is None

@@ -87,12 +87,30 @@ def test_pp_rejects_unsupported_combos():
     with pytest.raises(AssertionError):
         LLM(hf_config=_cfg(num_hidden_layers=3), pipeline_parallel_size=2, **_COMMON)
     with pytest.raises(AssertionError):
+        # eagle needs capture_hidden through the pipeline register — still TBD
         LLM(
             hf_config=_cfg(), pipeline_parallel_size=2,
-            speculative_config={"method": "ngram", "num_speculative_tokens": 2,
-                                "prompt_lookup_max": 2},
+            speculative_config={"method": "eagle", "num_speculative_tokens": 2},
             **_COMMON,
         )
+
+
+def test_pp_x_ngram_spec_decode_matches_single_device():
+    """ngram speculative decoding composes with pp: the verify step drives
+    forward_pp with all_logits=True (signature-compatible); greedy outputs
+    must match the plain single-device engine."""
+    from byox_vllm_tpu.llm import LLM
+
+    # repetitive prompts so the ngram proposer actually drafts
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2], [4, 4, 4, 4]]
+    single = _greedy(LLM(hf_config=_cfg(), **_COMMON), prompts)
+    spec = dict(method="ngram", num_speculative_tokens=2, prompt_lookup_max=3)
+    pp = _greedy(
+        LLM(hf_config=_cfg(), pipeline_parallel_size=2,
+            speculative_config=dict(spec), **_COMMON),
+        prompts,
+    )
+    assert pp == single
 
 
 def test_pp_quantized_matches_single_device():

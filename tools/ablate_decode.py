@@ -71,6 +71,20 @@ def main():
     # left there, every jitted call re-transfers them through the tunnel
     # (~2 GB/call — measured 1.8 s/step of pure transfer). Pin to the chip.
     params = jax.device_put(params, jax.devices()[0])
+    # mirror the ENGINE's serving config (otherwise this tool overstates the
+    # matmul term): (a) int8 LM head — config.quantize_lm_head default; the
+    # bf16 head streams 1.2 GB/step extra at 8B; (b) per-layer UNSTACKED
+    # weights — stacked slices feeding Pallas custom-calls are copied every
+    # step, tripling weight traffic (models/qwen3.py::unstack_layer_params)
+    if args.quant != "none" and not spec.tie_word_embeddings:
+        from dataclasses import replace as _replace
+
+        from byox_vllm_tpu.models.qwen3 import quantize_head, unstack_layer_params
+
+        if not isinstance(params.get("lm_head"), dict):
+            params["lm_head"] = quantize_head(params["lm_head"], 8, on_device=True)
+        spec = _replace(spec, head_bits=8)
+        params["layers"] = unstack_layer_params(params["layers"], spec.num_layers)
     kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
     kv = make_kv_cache(spec, num_slots, kv_dtype)
     tables = jnp.asarray(

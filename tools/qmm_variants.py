@@ -299,6 +299,81 @@ def run_f(x, wq4, s, tk=2048, tm=512):
     )(x, wq4, s)
 
 
+# --------------------------------------------------------------- variant I
+# int4 bitcast unpack -> int8, ONE whole-tile s8xs8 MXU dot, per-column scale
+# only: the FLOOR of the w4a8 approach (no per-group VPU work at all; int32
+# accumulation over the full K is exact — max |x8*w4*K| = 127*7*K << 2^31).
+def _kern_i(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = pltpu.bitcast(w_ref[...], jnp.int4).astype(jnp.int8)
+    part = jax.lax.dot(x_ref[...], w8, preferred_element_type=jnp.int32)
+    acc_ref[...] += part.astype(jnp.float32) * s_ref[0, :][None, :]
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+
+def run_i(xq, wq4, s_col, tk=2048, tm=512):
+    kh, m = wq4.shape
+    k = kh * 2
+    return pl.pallas_call(
+        _kern_i,
+        grid=(m // tm, k // tk),
+        in_specs=[
+            pl.BlockSpec((N, tk), lambda i, j: (0, j)),
+            pl.BlockSpec((tk // 2, tm), lambda i, j: (j, i)),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((N, tm), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((N, m), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((N, tm), jnp.float32)],
+    )(xq, wq4, s_col)
+
+
+# --------------------------------------------------------------- variant J
+# int4 weights fed DIRECTLY to the MXU dot (no unpack convert at all) — probes
+# whether Mosaic lowers a mixed s8 x s4 matmul natively.
+def _kern_j(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w4 = pltpu.bitcast(w_ref[...], jnp.int4)
+    part = jax.lax.dot_general(
+        x_ref[...], w4, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc_ref[...] += part.astype(jnp.float32) * s_ref[0, :][None, :]
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+
+def run_j(xq, wq4, s_col, tk=2048, tm=512):
+    kh, m = wq4.shape
+    k = kh * 2
+    return pl.pallas_call(
+        _kern_j,
+        grid=(m // tm, k // tk),
+        in_specs=[
+            pl.BlockSpec((N, tk), lambda i, j: (0, j)),
+            pl.BlockSpec((tk // 2, tm), lambda i, j: (j, i)),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((N, tm), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((N, m), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((N, tm), jnp.float32)],
+    )(xq, wq4, s_col)
+
+
 # --------------------------------------------------------------- baselines
 def run_bf16(x, w):
     return x @ w
@@ -350,6 +425,43 @@ def main():
         f = jax.jit(lambda x_, w_, s_: quant_matmul_pallas(x_, w_, s_, bits=4))
         ms, _ = timeit(f, x, w4, s)
         results["P production int4 qmm"] = (ms, w4.nbytes)
+    if "ps" in which:
+        from byox_vllm_tpu.ops.quant import quant_matmul_pallas
+
+        f = jax.jit(
+            lambda x_, w_, s_: quant_matmul_pallas(x_, w_, s_, bits=4, post_scale=True)
+        )
+        ms, _ = timeit(f, x, w4, s)
+        results["PS production post-scale"] = (ms, w4.nbytes)
+    if "w" in which:
+        from byox_vllm_tpu.ops.quant import quant_matmul_w4a8_pallas
+
+        f = jax.jit(lambda x_, w_, s_: quant_matmul_w4a8_pallas(x_, w_, s_))
+        ms, _ = timeit(f, x, w4, s)
+        results["W production w4a8 g128"] = (ms, w4.nbytes)
+    if "w256" in which:
+        from byox_vllm_tpu.ops.quant import quant_matmul_w4a8_pallas
+
+        s256 = s[::2]  # [K/256, M]: same kernel, half the scale rows
+        f = jax.jit(lambda x_, w_, s_: quant_matmul_w4a8_pallas(x_, w_, s_))
+        ms, _ = timeit(f, x, w4, s256)
+        results["W production w4a8 g256"] = (ms, w4.nbytes)
+    if "w512" in which:
+        from byox_vllm_tpu.ops.quant import quant_matmul_w4a8_pallas
+
+        s512 = s[::4]
+        f = jax.jit(lambda x_, w_, s_: quant_matmul_w4a8_pallas(x_, w_, s_))
+        ms, _ = timeit(f, x, w4, s512)
+        results["W production w4a8 g512"] = (ms, w4.nbytes)
+    if "i" in which:
+        ms, _ = timeit(jax.jit(run_i), xq, w4, s_col)
+        results["I int4->s8 1dot col-scale"] = (ms, w4.nbytes)
+    if "j" in which:
+        try:
+            ms, _ = timeit(jax.jit(run_j), xq, w4, s_col)
+            results["J int4 direct MXU dot"] = (ms, w4.nbytes)
+        except Exception as e:
+            print(f"J int4 direct MXU dot: FAILED ({type(e).__name__}: {str(e)[:200]})", flush=True)
     for name, (ms, nbytes) in results.items():
         print(f"{name:28s}: {ms:7.3f} ms  {nbytes/(ms/1e3)/1e9:6.0f} GB/s", flush=True)
 
