@@ -8,8 +8,11 @@ and s8xs8 MXU matmuls.
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,41 +24,56 @@ N = 128
 G = 128
 
 
-def timeit(f, *args, iters=24):
-    """Time a SCAN of `iters` chained calls inside ONE dispatched program.
+def timeit(f, *args, iters=64):
+    """Time a SCAN of chained calls inside ONE dispatched program, syncing
+    via jax.device_get (block_until_ready DOES NOT BLOCK through the axon
+    tunnel — r4 finding: it produced impossible 28 TB/s readings here) and
+    subtracting the ~50 ms tunnel RTT by marginal-iteration timing: run at
+    iters and 4*iters, report delta/(3*iters).
 
-    Per-dispatch loops are useless through the axon tunnel: it batches
-    queued dispatches of the same executable (weight reads amortize across
-    the batch — measured an impossible 5.7 TB/s), and identical dispatches
-    are memoized outright. A lax.scan with a varying activation and a
-    carried reduction forces `iters` sequential weight streams on device;
-    host round-trip amortizes across the whole chain."""
+    The scan feeds each output back into the next activation: (a) that
+    serializes the iterations, (b) it defeats XLA's algebraic collapse of
+    sum(x @ w). NOTE: loop-invariant weights may be hoisted into VMEM
+    (v5e: 128 MB), so this measures the COMPUTE-bound rate for operands
+    that fit — which is exactly what the decode-batch matmul study wants
+    (at B=128 the quantized matmul is MXU/VPU-bound, not HBM-bound)."""
     x0 = args[0]
-    xs = jnp.stack([x0 + jnp.asarray(i + 1, x0.dtype) for i in range(iters)])
-
     kdim = x0.shape[-1]
 
-    @jax.jit
-    def chain(xs_, *rest):
-        # Feed each output back into the next activation: (a) serializes
-        # the scan (true sequential weight streams), (b) defeats XLA's
-        # algebraic collapse of sum(x @ w) into two cheap reductions.
-        def body(c, x):
-            r = f((x + c).astype(x.dtype), *rest)
-            c_next = (r[:, :kdim].astype(jnp.float32) * 1e-6)
+    @functools.partial(jax.jit, static_argnames=("it",))
+    def chain(x_, *rest, it):
+        def body(c, i):
+            r = f((x_ + c).astype(x_.dtype), *rest)
+            c_next = r[:, :kdim].astype(jnp.float32) * (1e-6 * i)
             return c_next, None
 
-        c, _ = jax.lax.scan(body, jnp.zeros_like(x0, jnp.float32), xs_)
+        c, _ = jax.lax.scan(
+            body, jnp.zeros_like(x0, jnp.float32), jnp.arange(it, dtype=jnp.int32)
+        )
         return c
 
-    xs2 = xs + jnp.asarray(100, x0.dtype)  # timed call must differ (memoization)
-    jax.block_until_ready(xs2)
-    r = chain(xs, *args[1:])
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = chain(xs2, *args[1:])
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters * 1e3, r
+    def timed(it, salt):
+        xi = x0 + jnp.asarray(salt, x0.dtype)
+        _ = jax.device_get(xi)
+        t0 = time.perf_counter()
+        _ = jax.device_get(chain(xi, *args[1:], it=it))
+        return time.perf_counter() - t0
+
+    lo, hi = iters, iters * 4
+    for it in (lo, hi):  # compile + warm both
+        _ = jax.device_get(chain(x0, *args[1:], it=it))
+    # calibrate: RTT jitter has multi-100 ms spikes; scale iteration counts
+    # until the hi-lo marginal work is ~2 s, then take the median of
+    # interleaved deltas (the bench_qmm.py methodology)
+    per_call = timed(hi, 99) / hi  # upper bound (includes RTT)
+    boost = max(1, int(2.0 / max((hi - lo) * per_call, 1e-9)) + 1)
+    boost = min(boost, 4000)
+    lo, hi = lo * boost, hi * boost
+    for it in (lo, hi):
+        _ = jax.device_get(chain(x0, *args[1:], it=it))
+    deltas = sorted(timed(hi, 2 * i + 1) - timed(lo, 2 * i + 2) for i in range(5))
+    dt = deltas[len(deltas) // 2] / (hi - lo)
+    return dt * 1e3, None
 
 
 # --------------------------------------------------------------- variant A
