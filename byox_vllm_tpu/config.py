@@ -65,11 +65,6 @@ class Config:
     # adds ~3 ms/step) — kept for configs where it wins (small batches,
     # future cheap-commit paths).
     window_staged_decode: bool = False
-    # Fused store-and-attend decode: the v3 attention kernel DMAs the new
-    # K/V rows into the aliased pools itself (replaces ~3.2 ms/step of XLA
-    # row scatters at B=128 on 8B). OFF until validated on real hardware —
-    # an in-kernel semaphore bug would hang the chip.
-    fused_decode_store: bool = False
     # async pipelined decode: dispatch window n+1 from window n's on-device
     # tokens before fetching window n, hiding the host<->device round trip
     # under device compute (the TPU analogue of vLLM's async scheduling)
@@ -110,7 +105,6 @@ class Config:
             self.num_decode_steps = 1
             self.async_decode = False
             self.window_staged_decode = False
-            self.fused_decode_store = False
 
         if isinstance(self.speculative_config, dict):
             self.speculative_config = SpeculativeConfig(**self.speculative_config)

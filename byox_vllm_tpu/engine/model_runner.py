@@ -229,7 +229,7 @@ class ModelRunner:
             assert sc_ is None or getattr(sc_, "method", None) != "eagle", (
                 "eagle speculative decoding under pp TBD"
             )
-            assert not config.window_staged_decode and not config.fused_decode_store, (
+            assert not config.window_staged_decode, (
                 "pp supports the standard KV store path only"
             )
         if self.tp > 1:
@@ -373,7 +373,6 @@ class ModelRunner:
             block_size=self.block_size,
             attention_backend=config.attention_backend,
             window_staged=config.window_staged_decode,
-            fused_store=config.fused_decode_store,
             **tp_kwargs,
         )
         verify_impl = partial(
@@ -908,7 +907,6 @@ def _multi_decode_step(
     block_size,
     attention_backend="auto",
     window_staged=False,
-    fused_store=False,
     tp_axis=None,
     global_vocab=0,
 ):
@@ -964,7 +962,6 @@ def _multi_decode_step(
                 slots_k[:, None], block_tables, spec, block_size,
                 attention_fn=attention_fn,
                 attention_backend=attention_backend,
-                fused_store=fused_store,
                 tp_axis=tp_axis,
             )
             next_tokens = sample(logits, step_idx)

@@ -115,7 +115,6 @@ def forward_pp(
     decode_tails=None,
     tail_index=None,
     attention_backend: str = "auto",
-    fused_store: bool = False,
     tp_axis: str | None = None,
     inputs_embeds=None,
     capture_hidden: bool = False,
@@ -126,7 +125,7 @@ def forward_pp(
 ):
     """Pipeline-parallel model step (microbatched — module docstring). Runs
     inside shard_map over (data, stage[, model])."""
-    assert decode_tails is None and not fused_store and inputs_embeds is None, (
+    assert decode_tails is None and inputs_embeds is None, (
         "pp supports the standard store path only"
     )
     assert write_runs is None, (

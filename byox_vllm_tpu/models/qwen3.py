@@ -326,7 +326,6 @@ def decoder_layer(
     decode_tail=None,
     tail_index=None,
     write_runs=None,
-    fused_store: bool = False,
     tp_axis: str | None = None,
     attention_backend: str = "auto",
 ):
@@ -375,17 +374,6 @@ def decoder_layer(
             kv_scales=kv_scales, backend=attention_backend,
             window=layer_window,
         )[:, None]
-    elif tq == 1 and fused_store:
-        # decode: fused store-and-attend (the kernel writes the new
-        # K/V rows into the aliased pools itself; no XLA scatter)
-        from byox_vllm_tpu.ops.attention import decode_attention_store
-
-        o, new_kv_layer = decode_attention_store(
-            q[:, 0], kv_layer, block_tables, context_lens,
-            k_flat, v_flat, flat_slots, block_size, scale,
-            backend=attention_backend, window=layer_window,
-        )
-        o = o[:, None]
     else:
         if len(kv_layer) == 3 and write_runs is not None:
             # int8 prefill store on the block-DUS fast path
@@ -451,7 +439,6 @@ def forward(
     decode_tails: Any = None,  # per-layer (k_tail, v_tail) [B, T, nkv, hd]: window-staged decode
     tail_index: Any = None,  # scalar int32 step-within-window (with decode_tails)
     attention_backend: str = "auto",
-    fused_store: bool = False,  # decode: kernel-side KV store (config.fused_decode_store)
     tp_axis: str | None = None,  # set when running per-shard inside shard_map
     inputs_embeds: jnp.ndarray | None = None,  # [B, Tq, D] overrides the embed lookup (Eagle drafter)
     capture_hidden: bool = False,  # also return post-final-norm hidden states [B, Tq, D]
@@ -512,7 +499,7 @@ def forward(
             layer_window=layer_window,
             decode_tail=decode_tails[i] if decode_tails is not None else None,
             tail_index=tail_index, write_runs=write_runs,
-            fused_store=fused_store, tp_axis=tp_axis,
+            tp_axis=tp_axis,
             attention_backend=attention_backend,
         )
         new_kv.append(kv_i)

@@ -103,82 +103,6 @@ def paged_attention(
     )
 
 
-def decode_attention_store(
-    q,  # [B, nh, hd]
-    layer_cache,  # (k_pool, v_pool) or (k_pool, v_pool, kv_scale)
-    block_tables,
-    context_lens,  # [B] total tokens INCLUDING the current one
-    k_new, v_new,  # [B, nkv, hd] float: the current token's K/V
-    slots,  # [B] int32 slot of the current token, -1 = padding
-    block_size, scale,
-    backend: str = "auto",
-    window: int | None = None,
-):
-    """Fused store-and-attend decode step: the attention kernel DMAs the new
-    K/V (and scale) rows into the aliased pools itself and the current token
-    attends via the in-kernel tail term — no XLA scatter at all (measured
-    ~3.2 ms/step at B=128 on 8B for the 36x3 per-row scatters it replaces).
-    Returns (out [B, nh, hd], new_layer_cache)."""
-    from byox_vllm_tpu.ops.kv_cache import quantize_kv_rows, write_kv, write_kv_quant
-
-    b, nh, hd = q.shape
-    quantized = len(layer_cache) == 3
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_pallas = backend != "dense" and (backend == "pallas" or on_tpu)
-    # the kernel's RMW store windows (8 rows, Mosaic's DMA sublane granule)
-    # must not cross a block boundary — windows are hazard-free only within
-    # the sequence's own (exclusive) block
-    import os as _os
-
-    store_tile = int(_os.environ.get("BYOX_STORE_TILE", "8"))
-    if use_pallas and hd == 128 and b % 4 == 0 and block_size % store_tile == 0:
-        from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
-
-        if quantized:
-            kq, vq, sc_rows = quantize_kv_rows(k_new, v_new)
-            out = paged_decode_attention_v3(
-                q, layer_cache[0], layer_cache[1], block_tables,
-                context_lens - 1,  # pool holds everything but the current token
-                block_size=block_size, scale=scale, interpret=not on_tpu,
-                kv_scales=layer_cache[2], seqs_per_step=4, window=window,
-                k_tail=k_new.astype(jnp.bfloat16)[:, None],
-                v_tail=v_new.astype(jnp.bfloat16)[:, None],
-                tail_len=jnp.int32(0),
-                store_slots=slots, k_store=kq, v_store=vq, sc_store=sc_rows,
-                store_tile=store_tile,
-            )
-            o, kp, vp, sc = out
-            return o, (kp, vp, sc)
-        kq = k_new.reshape(b, -1).astype(layer_cache[0].dtype)
-        vq = v_new.reshape(b, -1).astype(layer_cache[1].dtype)
-        o, kp, vp = paged_decode_attention_v3(
-            q, layer_cache[0], layer_cache[1], block_tables, context_lens - 1,
-            block_size=block_size, scale=scale, interpret=not on_tpu,
-            seqs_per_step=4, window=window,
-            k_tail=k_new.astype(layer_cache[0].dtype)[:, None],
-            v_tail=v_new.astype(layer_cache[1].dtype)[:, None],
-            tail_len=jnp.int32(0),
-            store_slots=slots, k_store=kq, v_store=vq,
-            store_tile=store_tile,
-        )
-        return o, (kp, vp)
-    # fallback: separate write + attend (CPU / unsupported shapes)
-    if quantized:
-        kp, vp, sc = write_kv_quant(*layer_cache, k_new, v_new, slots)
-        lay = (kp, vp, sc)
-        kv_scales = sc
-    else:
-        kp, vp = write_kv(layer_cache[0], layer_cache[1], k_new, v_new, slots)
-        lay = (kp, vp)
-        kv_scales = None
-    positions = (context_lens - 1)[:, None]
-    o = paged_attention(
-        q[:, None], kp, vp, block_tables, context_lens, positions, block_size,
-        scale, backend=backend, kv_scales=kv_scales, window=window,
-    )
-    return o[:, 0], lay
-
-
 def decode_attention_with_tail(
     q,  # [B, nh, hd]
     k_pool, v_pool, block_tables,

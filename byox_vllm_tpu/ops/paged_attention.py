@@ -27,7 +27,6 @@ paged decode path (nanovllm/layers/attention.py:88-96), designed for TPU:
 """
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -586,12 +585,10 @@ def _decode_kernel_v3(
     # scalar prefetch
     block_tables_ref,  # [B, W] int32 (SMEM)
     context_lens_ref,  # [B] int32 (SMEM)
-    *rest,  # [tail_len_ref if has_tail], [store_slots_ref if store],
+    *rest,  # [tail_len_ref if has_tail],
     #         q_ref, k_hbm, v_hbm, [sc_hbm if int8],
     #         [k_tail_ref, v_tail_ref if has_tail],
-    #         [k_store_ref, v_store_ref, (sc_store_ref) if store],
-    #         o_ref, [kp_out, vp_out, (sc_out) if store],
-    #         kbuf, vbuf, [scbuf], m/l/acc scratch, sems, [store_sems]
+    #         o_ref, kbuf, vbuf, [scbuf], m/l/acc scratch, sems
     scale: float,
     block_size: int,
     num_kv_heads: int,
@@ -602,33 +599,17 @@ def _decode_kernel_v3(
     quantized: bool,
     has_tail: bool,
     sb: int,  # sequences per grid step
-    store: bool = False,  # fused KV-store: DMA the new rows into the pools
-    store_tile: int = 8,  # pool-dtype DMA sublane granule (8 bf16, 32 int8)
-    scale_tile: int = 8,  # scale-pool (bf16) DMA sublane granule
     window: int | None = None,  # sliding-window attention band
 ):
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
-    store_slots_ref = rest.pop(0) if store else None
     q_ref = rest.pop(0)  # [SB, nh, hd]
     k_hbm = rest.pop(0)
     v_hbm = rest.pop(0)
     sc_hbm = rest.pop(0) if quantized else None
     k_tail_ref = rest.pop(0) if has_tail else None  # [SB, T, F]
     v_tail_ref = rest.pop(0) if has_tail else None
-    k_store_ref = rest.pop(0) if store else None  # [1, SB, F] pipelined VMEM
-    v_store_ref = rest.pop(0) if store else None
-    sc_store_ref = rest.pop(0) if (store and quantized) else None
     o_ref = rest.pop(0)  # [SB, nh, hd]
-    kp_out = rest.pop(0) if store else None  # aliased pools (ANY/HBM)
-    vp_out = rest.pop(0) if store else None
-    sc_out = rest.pop(0) if (store and quantized) else None
-    if store:
-        st_put_sems = rest.pop()
-        st_fetch_sems = rest.pop()
-        st_scbuf = rest.pop() if quantized else None
-        st_vbuf = rest.pop()
-        st_kbuf = rest.pop()
     if quantized:
         kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
     else:
@@ -713,111 +694,6 @@ def _decode_kernel_v3(
 
     wait_fetch(gi, c, slot)
 
-    if store:
-        # Fused KV store as tile-window read-modify-write. Mosaic rejects
-        # single-row DMA slices (sublane slices must be tile-aligned: 8 rows
-        # bf16, 32 rows int8), so the kernel instead (1) DMAs each store
-        # target's tile-aligned window out of the pool into VMEM at the
-        # group's FIRST chunk, (2) overlays the new row (the neighbors are
-        # written back bit-identical, and a window never crosses the
-        # sequence's unsealed — hence exclusive, never shared — last block,
-        # so there is no cross-sequence hazard), and (3) DMAs the window
-        # back at the group's LAST chunk. Fetch/write-back both overlap the
-        # attention chunks; parity scratch is reused two groups later, so
-        # group gi's write-backs are waited at gi+2's first chunk (the last
-        # two groups drain at the final grid step). The attention itself
-        # never needs the stored row: the pool context excludes the current
-        # token, which attends via the tail term.
-        #
-        # New rows ride pipelined VMEM blocks shaped (1, sb, lanes) — the
-        # pipeline slices only the (untiled) leading group dim, which is
-        # always legal, and rows are read at static in-block indices.
-        srcs = [k_store_ref, v_store_ref] + ([sc_store_ref] if quantized else [])
-        dsts = [kp_out, vp_out] + ([sc_out] if quantized else [])
-        tiles = [store_tile, store_tile] + ([scale_tile] if quantized else [])
-        bufs = [st_kbuf, st_vbuf] + ([st_scbuf] if quantized else [])
-        nst = len(srcs)
-
-        def window_copy(s_i, srow, parity, idx, to_vmem):
-            t = tiles[idx]
-            blk = srow // block_size
-            off = jax.lax.rem(srow, block_size) // t * t
-            pool_win = dsts[idx].at[blk, pl.ds(off, t), :]
-            vmem_win = bufs[idx].at[parity, s_i]
-            sem = (st_fetch_sems if to_vmem else st_put_sems).at[parity, idx]
-            if to_vmem:
-                return pltpu.make_async_copy(pool_win, vmem_win, sem)
-            return pltpu.make_async_copy(vmem_win, pool_win, sem)
-
-        def each_store(gi_, fn):
-            for s_i in range(sb):
-                srow = store_slots_ref[gi_ * sb + s_i]
-                @pl.when(srow >= 0)
-                def _(s_i=s_i, srow=srow):
-                    fn(s_i, srow)
-
-        def wait_puts(gi_, parity):
-            each_store(
-                gi_,
-                lambda s_i, srow: [
-                    window_copy(s_i, srow, parity, idx, False).wait() for idx in range(nst)
-                ],
-            )
-
-        parity = jax.lax.rem(gi, 2)
-
-        @pl.when(c == 0)
-        def _store_fetch():
-            @pl.when(gi >= 2)
-            def _():
-                wait_puts(gi - 2, parity)
-            each_store(
-                gi,
-                lambda s_i, srow: [
-                    window_copy(s_i, srow, parity, idx, True).start() for idx in range(nst)
-                ],
-            )
-
-        def emit_store_put():
-            # Emitted AFTER the chunk's attention compute (see the call site
-            # below): with num_chunks == 1 — the common serving geometry —
-            # fetch and wait would otherwise sit back-to-back at the top of
-            # the body, exposing the full window-fetch DMA latency on every
-            # group (~1-2 us x B/sb groups x layers adds up to >1 ms/step at
-            # 8B). Ordered after the matmuls, the fetch hides under them.
-            @pl.when(c == num_chunks - 1)
-            def _store_put():
-                # the fetch sems are shared across the group's sequences, so
-                # a per-sequence wait could be satisfied by a sibling's
-                # completion: barrier ALL of the group's fetches before
-                # overlaying any window
-                each_store(
-                    gi,
-                    lambda s_i, srow: [
-                        window_copy(s_i, srow, parity, idx, True).wait() for idx in range(nst)
-                    ],
-                )
-
-                def overlay_and_put(s_i, srow):
-                    for idx in range(nst):
-                        t = tiles[idx]
-                        r = jax.lax.rem(srow, t)  # block_size % t == 0
-                        new_row = srcs[idx][0, s_i, :]
-                        rowi = jax.lax.broadcasted_iota(jnp.int32, (t, srcs[idx].shape[-1]), 0)
-                        win = bufs[idx][parity, s_i]
-                        bufs[idx][parity, s_i] = jnp.where(rowi == r, new_row[None, :], win)
-                    for idx in range(nst):
-                        window_copy(s_i, srow, parity, idx, False).start()
-
-                each_store(gi, overlay_and_put)
-
-                @pl.when(gi == num_groups - 1)
-                def _drain():
-                    @pl.when(gi >= 1)
-                    def _():
-                        wait_puts(gi - 1, 1 - parity)
-                    wait_puts(gi, parity)
-
     @pl.when(c == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
@@ -852,7 +728,7 @@ def _decode_kernel_v3(
             # scale rows past ctx are unfetched VMEM (may be NaN): re-mask
             p = jnp.where(valid, p * vs_heads, 0.0)
         if v.shape[0] == 1:
-            # single-key chunk (fused-store tail): the degenerate [nh,1]@[1,F]
+            # single-key tail chunk: the degenerate [nh,1]@[1,F]
             # matmul is an outer product — do it on the VPU (a dot_general
             # here also trips a Mosaic lowering bug: 'vector.broadcast'
             # bf16->f32 verification failure on (1,F) operands)
@@ -915,7 +791,7 @@ def _decode_kernel_v3(
                 q = q_ref[s_i].astype(jnp.float32)
                 qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f).astype(cdt)
                 if t_max == 1:
-                    # single new token (fused-store mode): [nh,F]x[1,F]
+                    # single new token tail: [nh,F]x[1,F]
                     # mult-reduce on the VPU — cheaper than a 1-column MXU
                     # call, and dodges the Mosaic (1,F)-operand dot_general
                     # verification bug (see online_update)
@@ -930,9 +806,6 @@ def _decode_kernel_v3(
                     ) * scale  # [nh, T]
                 col = jax.lax.broadcasted_iota(jnp.int32, (nh, t_max), 1)
                 online_update(s_i, s, col <= tl, vt)
-
-    if store:
-        emit_store_put()
 
     @pl.when(last_chunk)
     def _finish():
@@ -952,7 +825,7 @@ def _decode_kernel_v3(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step",
-        "window", "store_tile",
+        "window",
     ),
 )
 def paged_decode_attention_v3(
@@ -971,12 +844,7 @@ def paged_decode_attention_v3(
     k_tail=None,  # [B, T, nkv, hd] float: window-staged new K/V rows
     v_tail=None,
     tail_len=None,  # scalar int32: tail rows 0..tail_len attend
-    store_slots=None,  # [B] int32 (-1 = skip): fused KV store at these slots
-    k_store=None,  # [B, F] pool-dtype new rows (pre-quantized when int8)
-    v_store=None,
-    sc_store=None,  # [B, SCALE_LANES] bf16 scale rows (int8 pools)
     window: int | None = None,  # sliding-window attention (band mask + DMA skip)
-    store_tile: int | None = None,  # RMW window rows; None reads BYOX_STORE_TILE
 ):
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -988,7 +856,6 @@ def paged_decode_attention_v3(
     vp = v_pool.reshape(num_blocks, block_size, f)
     quantized = kv_scales is not None
     has_tail = k_tail is not None
-    store = store_slots is not None
     sb = seqs_per_step
     assert b % sb == 0, (b, sb)
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
@@ -1002,14 +869,12 @@ def paged_decode_attention_v3(
     num_chunks = -(-w // ppc)
     span = ppc * block_size
 
-    nsp = 2 + (1 if has_tail else 0) + (1 if store else 0)
+    nsp = 2 + (1 if has_tail else 0)
 
     def _idx(fn):
         # index maps take (grid..., *scalar_prefetch_refs)
-        if has_tail and store:
-            return lambda i, c, bt, ctx, tl, ss: fn(i, c)
-        if has_tail or store:
-            return lambda i, c, bt, ctx, _x: fn(i, c)
+        if has_tail:
+            return lambda i, c, bt, ctx, tl: fn(i, c)
         return lambda i, c, bt, ctx: fn(i, c)
 
     in_specs = [
@@ -1035,75 +900,23 @@ def paged_decode_attention_v3(
         ]
         operands += [k_tail.reshape(b, t_max, f), v_tail.reshape(b, t_max, f)]
     nbuf = 3 if quantized else 2
-    out_specs = [pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0)))]
-    out_shape = [jax.ShapeDtypeStruct((b, nh, hd), q.dtype)]
-    input_output_aliases = {}
-    # Mosaic's DMA sublane-slice granule is 8 rows for every pool dtype
-    # (compile-probed on v5e: int8 8-row dynamic-offset slices compile too,
-    # tools/dma_probe.py Q1). Passed as a STATIC arg by callers so the jit
-    # cache keys on it; the env fallback here is for direct experiments only
-    # (its value bakes into the first trace per shape — ADVICE r3).
-    if store_tile is None:
-        store_tile = int(os.environ.get("BYOX_STORE_TILE", "8"))
-    scale_tile = store_tile
-    if store:
-        # new rows ride pipelined (1, sb, lanes) VMEM blocks — only the
-        # untiled leading group dim is sliced (always legal); the kernel
-        # writes them into the pools via tile-window read-modify-write DMAs
-        # (see _decode_kernel_v3's store block)
-        assert block_size % store_tile == 0, (block_size, store_tile)
-        in_specs += [
-            pl.BlockSpec((1, sb, f), _idx(lambda i, c: (i, 0, 0))),
-            pl.BlockSpec((1, sb, f), _idx(lambda i, c: (i, 0, 0))),
-        ]
-        operands += [k_store.reshape(b // sb, sb, f), v_store.reshape(b // sb, sb, f)]
-        if quantized:
-            in_specs += [pl.BlockSpec((1, sb, scale_lanes), _idx(lambda i, c: (i, 0, 0)))]
-            operands += [sc_store.reshape(b // sb, sb, scale_lanes)]
-        # pools come back as aliased outputs (zero-copy in-place update)
-        out_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * nbuf
-        out_shape += [
-            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
-            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
-        ]
-        if quantized:
-            out_shape += [
-                jax.ShapeDtypeStruct((num_blocks, block_size, kv_scales.shape[1]), kv_scales.dtype)
-            ]
-        # alias indices count every positional operand incl. scalar prefetch
-        kp_pos = nsp + 1  # after prefetch args and q
-        input_output_aliases = {kp_pos: 1, kp_pos + 1: 2}
-        if quantized:
-            input_output_aliases[kp_pos + 2] = 3
+    out_specs = pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0)))
+    out_shape = jax.ShapeDtypeStruct((b, nh, hd), q.dtype)
     scratch += [
         pltpu.VMEM((sb * nh, 128), jnp.float32),  # m
         pltpu.VMEM((sb * nh, 128), jnp.float32),  # l
         pltpu.VMEM((sb * nh, hd), jnp.float32),  # acc
         pltpu.SemaphoreType.DMA((2, nbuf)),
     ]
-    if store:
-        # parity-double-buffered RMW windows + fetch/put semaphores
-        scratch += [
-            pltpu.VMEM((2, sb, store_tile, f), k_pool.dtype),  # st_kbuf
-            pltpu.VMEM((2, sb, store_tile, f), v_pool.dtype),  # st_vbuf
-        ]
-        if quantized:
-            scratch += [pltpu.VMEM((2, sb, scale_tile, scale_lanes), kv_scales.dtype)]
-        scratch += [
-            pltpu.SemaphoreType.DMA((2, nbuf)),  # st_fetch_sems
-            pltpu.SemaphoreType.DMA((2, nbuf)),  # st_put_sems
-        ]
 
     prefetch = [tables, context_lens.astype(jnp.int32)]
     if has_tail:
         prefetch.append(jnp.asarray(tail_len, jnp.int32).reshape(1))
-    if store:
-        prefetch.append(store_slots.astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
         grid=(b // sb, num_chunks),
         in_specs=in_specs,
-        out_specs=out_specs if store else out_specs[0],
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
@@ -1118,9 +931,6 @@ def paged_decode_attention_v3(
         quantized=quantized,
         has_tail=has_tail,
         sb=sb,
-        store=store,
-        store_tile=store_tile,
-        scale_tile=scale_tile,
         window=window,
     )
     if window is not None and has_tail:
@@ -1129,19 +939,10 @@ def paged_decode_attention_v3(
         # window >= t_max keeps every tail row inside the band (the kernel's
         # tail chunk applies no window mask)
         assert window >= k_tail.shape[1], (window, k_tail.shape)
-    result = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape if store else out_shape[0],
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases=input_output_aliases,
     )(*prefetch, *operands)
-    if not store:
-        return result
-    o = result[0]
-    kp_new = result[1].reshape(s, f)
-    vp_new = result[2].reshape(s, f)
-    if quantized:
-        return o, kp_new, vp_new, result[3].reshape(s, kv_scales.shape[1])
-    return o, kp_new, vp_new

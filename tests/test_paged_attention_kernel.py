@@ -314,75 +314,3 @@ def test_v3_kernel_int8_and_tail():
                 )
 
 
-@pytest.mark.parametrize("quant", [False, True])
-def test_v3_fused_store_matches_separate(quant):
-    """Fused store-and-attend (kernel DMAs the new rows into the aliased
-    pools) must equal write_kv + attend, and must leave the pools identical."""
-    from byox_vllm_tpu.ops.attention import decode_attention_store
-
-    rng = np.random.default_rng(11)
-    b, nh, nkv, hd = 4, 8, 4, 128
-    # the fused path needs block_size % store_tile == 0 (32 rows for int8
-    # pools) or it falls back to separate write+attend — which would make
-    # this test vacuous
-    bs = 32 if quant else 16
-    lens = [20, 5, 37, 0]  # totals INCLUDING the new token; 0 = padding row
-    S = 32 * bs
-    if quant:
-        from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
-
-        lay = (
-            jnp.zeros((S, nkv * hd), jnp.int8),
-            jnp.zeros((S, nkv * hd), jnp.int8),
-            jnp.zeros((S, SCALE_LANES), jnp.bfloat16),
-        )
-        write = write_kv_quant
-    else:
-        from byox_vllm_tpu.ops.kv_cache import write_kv
-
-        lay = (jnp.zeros((S, nkv * hd), jnp.float32), jnp.zeros((S, nkv * hd), jnp.float32))
-        write = write_kv
-    tables = np.full((b, 4), -1, np.int32)
-    nxt = 0
-    slots = np.full(b, -1, np.int32)
-    for i, c in enumerate(lens):
-        for j in range(-(-c // bs)):
-            tables[i, j] = nxt
-            lo, hi = j * bs, min(c, (j + 1) * bs)
-            n = hi - lo
-            if hi == c:
-                n -= 1  # the LAST token's row is what the kernel stores
-                slots[i] = nxt * bs + (c - 1 - lo)
-            if n > 0:
-                sl = jnp.asarray(range(nxt * bs, nxt * bs + n), jnp.int32)
-                rows_k = jnp.asarray(rng.normal(size=(n, nkv, hd)), jnp.float32)
-                rows_v = jnp.asarray(rng.normal(size=(n, nkv, hd)), jnp.float32)
-                lay = write(*lay, rows_k, rows_v, sl)
-            nxt += 1
-    tables = jnp.asarray(tables)
-    ctx = jnp.asarray(lens, jnp.int32)
-    slots = jnp.asarray(slots)
-    q = jnp.asarray(rng.normal(size=(b, nh, hd)), jnp.float32)
-    k_new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
-    v_new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
-    scale = hd**-0.5
-
-    o_ref, lay_ref = decode_attention_store(
-        q, lay, tables, ctx, k_new, v_new, slots, bs, scale, backend="dense"
-    )
-    o_fused, lay_fused = decode_attention_store(
-        q, lay, tables, ctx, k_new, v_new, slots, bs, scale, backend="pallas"
-    )
-    tol = 2e-2 if quant else 2e-5  # tail is bf16 in the kernel path
-    for i, c in enumerate(lens):
-        if c == 0:
-            continue
-        np.testing.assert_allclose(
-            np.asarray(o_fused[i]), np.asarray(o_ref[i]), rtol=tol, atol=tol
-        )
-    # pools must end up identical (incl. padding rows left untouched)
-    for a, r in zip(lay_fused, lay_ref):
-        np.testing.assert_allclose(
-            np.asarray(a).astype(np.float32), np.asarray(r).astype(np.float32),
-            rtol=0, atol=0,
-        )
