@@ -517,7 +517,13 @@ def _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden):
 
     def head(x):  # x [..., D] -> logits [..., V] f32 (vocab-LOCAL under tp)
         if isinstance(lm_head, dict):  # int8 head, pre-transposed + V-padded
-            out = quant_matmul(x, lm_head, spec.head_bits, out_dtype=jnp.float32)
+            # W8A8 under w4a8 mode: the int8 head rides the int8 MXU too
+            # (the head streams fully every decode step; ~2 ms at 8B on the
+            # bf16-MXU dequant path, ABLATE_r04)
+            out = quant_matmul(
+                x, lm_head, spec.head_bits, out_dtype=jnp.float32,
+                act_bits=spec.act_bits,
+            )
             if tp_axis is not None:
                 return out  # local vocab shard; the tp sampler masks padding
             return out[..., : spec.vocab_size]

@@ -365,12 +365,13 @@ def quant_matmul(
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    w4a8 = act_bits == 8 and bits == 4
+    a8 = act_bits == 8 and bits in (4, 8)  # W4A8 / W8A8: int8-MXU path
     if backend != "dense" and (backend == "pallas" or on_tpu):
         try:
-            if w4a8:
+            if a8:
                 out = quant_matmul_w4a8_pallas(
-                    x2, w["q"], w["s"], interpret=not on_tpu, out_dtype=out_dtype
+                    x2, w["q"], w["s"], interpret=not on_tpu, out_dtype=out_dtype,
+                    bits=bits,
                 )
             else:
                 out = quant_matmul_pallas(
@@ -379,7 +380,7 @@ def quant_matmul(
         except ValueError:  # K too small to tile on hardware
             out = (x2 @ dequantize(w["q"], w["s"], bits, x.dtype)).astype(out_dtype or x.dtype)
     else:
-        if w4a8:
+        if a8:
             # exact emulation of the kernel: quantized activations times the
             # dequantized weights in f32
             x8, sx = quantize_activations(x2)
@@ -422,6 +423,43 @@ def _unpack_tile_i8(raw, interpret: bool):
     return jnp.stack([lo, hi], axis=1).reshape(kh * 2, tm).astype(jnp.int8)
 
 
+def _qmm_w8a8_kernel(
+    x_ref,  # [TN, TK] int8
+    sx_ref,  # [TN, 1] f32
+    wq_ref,  # [TK, TM] int8
+    s_ref,  # [gpt, TM] f32 weight scales
+    o_ref,  # [TN, TM]
+    acc_ref,  # [TN, TM] f32
+    *,
+    groups_per_tile,
+    group_size,
+    out_dtype,
+):
+    """W8A8: int8 weights on the int8 MXU (the LM-head fast path — the head
+    is int8-quantized and streams fully every decode step; the bf16-MXU
+    dequant path left ~2x MXU rate on the table, ABLATE_r04)."""
+    k = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = wq_ref[...]
+    scales = s_ref[...]
+    acc = acc_ref[...]
+    for g in range(groups_per_tile):
+        xg = x_ref[:, g * group_size : (g + 1) * group_size]
+        wg = w8[g * group_size : (g + 1) * group_size, :]
+        s32 = jax.lax.dot(xg, wg, preferred_element_type=jnp.int32)
+        acc = acc + s32.astype(jnp.float32) * scales[g : g + 1, :]
+    acc_ref[...] = acc
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * sx_ref[...]).astype(out_dtype)
+
+
 def _qmm_w4a8_kernel(
     x_ref,  # [TN, TK] int8
     sx_ref,  # [TN, 1] f32
@@ -459,17 +497,18 @@ def _qmm_w4a8_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_m", "tile_k", "out_dtype")
+    jax.jit, static_argnames=("interpret", "tile_m", "tile_k", "out_dtype", "bits")
 )
 def quant_matmul_w4a8_pallas(
     x: jnp.ndarray,  # [N, K] float (quantized per-row inside)
-    wq: jnp.ndarray,  # [K/2, M] nibble-packed int4
+    wq: jnp.ndarray,  # [K/2, M] nibble-packed int4 (bits=4) | [K, M] int8 (bits=8)
     scales: jnp.ndarray,  # [K/G, M] f32
     *,
     interpret: bool = False,
     tile_m: int = 1024,
     tile_k: int = 2048,
     out_dtype=None,
+    bits: int = 4,  # weight bits: 4 (nibble unpack) or 8 (W8A8, no unpack)
 ) -> jnp.ndarray:
     n, k = x.shape
     m = wq.shape[-1]
@@ -490,6 +529,7 @@ def quant_matmul_w4a8_pallas(
             gpt = tk // gsize
         else:
             raise ValueError(f"K={k} with group {gsize} not tileable for the TPU w4a8 kernel")
+    pack = 2 if bits == 4 else 1
     tn = n
     while tn > 2048 and tn % 2 == 0:
         tn //= 2
@@ -500,7 +540,7 @@ def quant_matmul_w4a8_pallas(
     def vmem_bytes(tn, tk, tm):
         return 2 * (
             tn * tk  # x8 block
-            + (tk // 2) * tm  # packed weights
+            + (tk // pack) * tm  # (packed) weights
             + (tk // gsize) * tm * 4  # scales
             + tn * tm * out_dtype.itemsize  # out
             + tn * 4  # sx
@@ -520,16 +560,23 @@ def quant_matmul_w4a8_pallas(
     assert m % tm == 0 and k % tk == 0 and n % tn == 0
     num_n, num_m, num_k = n // tn, m // tm, k // tk
 
-    return pl.pallas_call(
-        functools.partial(
+    if bits == 8:
+        kern = functools.partial(
+            _qmm_w8a8_kernel, groups_per_tile=gpt, group_size=gsize,
+            out_dtype=out_dtype,
+        )
+    else:
+        kern = functools.partial(
             _qmm_w4a8_kernel, groups_per_tile=gpt, group_size=gsize,
             out_dtype=out_dtype, interpret=interpret,
-        ),
+        )
+    return pl.pallas_call(
+        kern,
         grid=(num_n, num_m, num_k),
         in_specs=[
             pl.BlockSpec((tn, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 2, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // pack, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((gpt, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
