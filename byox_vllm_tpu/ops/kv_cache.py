@@ -18,8 +18,103 @@ dropped via an out-of-bounds sentinel (negative indices would wrap; the
 reference kernel skips slot==-1 the same way).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _put_rows_kernel(slots_ref, *refs, num_rows: int, pools: int, group: int):
+    """Issue one aligned 8-sublane DMA put per (row, pool), then drain.
+
+    refs = [src_0..src_{pools-1} (ANY [N*8, F/8]), pool-input refs (unused —
+    they alias the outputs), dst_0..dst_{pools-1} (ANY [S*8, F/8], aliased
+    outputs), sem (DMA (pools,))]. Row i of pool p goes to slot
+    slots_ref[i]; slot -1 (padding) is skipped. All copies to pool p share
+    one counting semaphore: every start is matched by a wait before the
+    grid step ends."""
+    g = pl.program_id(0)
+    srcs = refs[:pools]
+    dsts = refs[2 * pools : 3 * pools]  # the aliased OUTPUT refs
+    sem = refs[3 * pools]
+
+    def copy(p, i, slot):
+        return pltpu.make_async_copy(
+            srcs[p].at[pl.ds(i * 8, 8)], dsts[p].at[pl.ds(slot * 8, 8)], sem.at[p]
+        )
+
+    def each(fn):
+        for j in range(group):  # static unroll within the grid step
+            i = g * group + j
+
+            @pl.when((i < num_rows) & (slots_ref[jnp.minimum(i, num_rows - 1)] >= 0))
+            def _(i=i):
+                slot = slots_ref[i]
+                for p in range(pools):
+                    fn(p, i, slot)
+
+    each(lambda p, i, slot: copy(p, i, slot).start())
+    each(lambda p, i, slot: copy(p, i, slot).wait())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def put_kv_rows(pools, rows, slot_mapping, *, interpret: bool = False):
+    """Scatter one new row per token into each pool via aligned DMA puts.
+
+    ``pools``: tuple of [S, F] arrays (donated; returned updated in place).
+    ``rows``: matching tuple of [N, F] arrays. ``slot_mapping`` [N] int32,
+    -1 = padding (skipped). Each row is viewed as an 8-sublane tile
+    ([S, F] -> [S*8, F/8]), so the put is a pure aligned write — no
+    read-modify-write, unlike both the XLA row scatter (~8 GB/s effective,
+    tools/layout_probe.py Q1) and the deleted fused-store RMW windows.
+    Requires F*itemsize % 2048 == 0 (8 sublanes x 128 lanes x dtype);
+    callers gate on ``can_put_rows``."""
+    n = rows[0].shape[0]
+    out_shapes = []
+    srcs = []
+    dsts = []
+    aliases = {}
+    for idx, (pool, r) in enumerate(zip(pools, rows)):
+        s, f = pool.shape
+        srcs.append(r.astype(pool.dtype).reshape(n * 8, f // 8))
+        dsts.append(pool.reshape(s * 8, f // 8))
+        out_shapes.append(jax.ShapeDtypeStruct((s * 8, f // 8), pool.dtype))
+        # operands: slots (prefetch), src_0..p, dst_0..p; outputs: dst_0..p
+        aliases[1 + len(pools) + idx] = idx
+    p = len(pools)
+    group = min(32, n)  # rows per grid step: bounds in-flight DMAs per step
+    grid = (-(-n // group),)
+    kernel = functools.partial(
+        _put_rows_kernel, num_rows=n, pools=p, group=group
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * p),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * p,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((p,))],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(slot_mapping.astype(jnp.int32), *srcs, *dsts)
+    return tuple(
+        o.reshape(pool.shape) for o, pool in zip(outs, pools)
+    )
+
+
+def can_put_rows(pool) -> bool:
+    """True when the pool's row is a whole number of (8, 128) tiles, the
+    aligned-put granule (int8 F%1024==0; bf16 F%512==0... conservatively
+    require row bytes % 2048 == 0 AND lanes f//8 % 128 == 0)."""
+    s, f = pool.shape
+    return f % 8 == 0 and (f // 8) % 128 == 0
 
 
 def write_kv(
@@ -29,8 +124,16 @@ def write_kv(
     v_new: jnp.ndarray,  # [N, nkv, hd]
     slot_mapping: jnp.ndarray,  # [N] int32, -1 = padding (dropped)
 ):
-    num_slots = k_pool.shape[0]
     n = k_new.shape[0]
+    if jax.default_backend() in ("tpu", "axon") and can_put_rows(k_pool):
+        # aligned DMA puts: the XLA row scatter runs at ~8 GB/s effective
+        # (per-row RMW; tools/layout_probe.py) — ~3.1 ms/step of ABLATE_r04
+        return put_kv_rows(
+            (k_pool, v_pool),
+            (k_new.reshape(n, -1), v_new.reshape(n, -1)),
+            slot_mapping,
+        )
+    num_slots = k_pool.shape[0]
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
     k_pool = k_pool.at[slots].set(k_new.reshape(n, -1).astype(k_pool.dtype), mode="drop")
     v_pool = v_pool.at[slots].set(v_new.reshape(n, -1).astype(v_pool.dtype), mode="drop")
@@ -100,12 +203,17 @@ def write_kv_quant(
     slot_mapping: jnp.ndarray,  # [N] int32, -1 = padding (dropped)
 ):
     """Per-(token, head) symmetric int8 quantization at cache-write time.
-    All three scatters are leading-axis (in-place, see module docstring)."""
+    K/V rows go via aligned DMA puts on TPU (see write_kv); the narrow scale
+    rows (1 sublane each — below the put granule) stay a leading-axis
+    scatter (in-place, see module docstring)."""
     num_slots = k_pool.shape[0]
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
     kq, vq, scale_rows = quantize_kv_rows(k_new, v_new)
-    k_pool = k_pool.at[slots].set(kq, mode="drop")
-    v_pool = v_pool.at[slots].set(vq, mode="drop")
+    if jax.default_backend() in ("tpu", "axon") and can_put_rows(k_pool):
+        k_pool, v_pool = put_kv_rows((k_pool, v_pool), (kq, vq), slot_mapping)
+    else:
+        k_pool = k_pool.at[slots].set(kq, mode="drop")
+        v_pool = v_pool.at[slots].set(vq, mode="drop")
     kv_scale = kv_scale.at[slots].set(scale_rows, mode="drop")
     return k_pool, v_pool, kv_scale
 

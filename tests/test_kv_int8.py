@@ -99,3 +99,37 @@ def test_engine_e2e_kv_int8(tmp_path):
     q8 = LLM(str(tmp_path), kv_cache_dtype="int8", **common).generate(prompts, sp, use_tqdm=False)
     # int8 KV with per-(token, head) scales tracks fp32 closely on 2 layers
     assert q8[0]["token_ids"] == plain[0]["token_ids"]
+
+
+def test_put_kv_rows_matches_scatter():
+    """Aligned-DMA-put decode store == the XLA row scatter, including
+    skipped padding rows (slot -1) and both pool dtypes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from byox_vllm_tpu.ops.kv_cache import can_put_rows, put_kv_rows
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.int8, jnp.bfloat16):
+        S, F, N = 192, 1024, 16
+        base = rng.integers(-90, 90, (2, S, F)).astype(np.int8)
+        kp = jnp.asarray(base[0]).astype(dtype)
+        vp = jnp.asarray(base[1]).astype(dtype)
+        assert can_put_rows(kp)
+        rows = rng.integers(-90, 90, (2, N, F)).astype(np.int8)
+        rk = jnp.asarray(rows[0]).astype(dtype)
+        rv = jnp.asarray(rows[1]).astype(dtype)
+        slots = np.full(N, -1, np.int32)
+        slots[: N // 2] = rng.choice(S, N // 2, replace=False)
+        slots_j = jnp.asarray(slots)
+
+        got_k, got_v = put_kv_rows((kp, vp), (rk, rv), slots_j, interpret=True)
+        sl = jnp.where(slots_j < 0, S, slots_j)
+        ref_k = kp.at[sl].set(rk, mode="drop")
+        ref_v = vp.at[sl].set(rv, mode="drop")
+        np.testing.assert_array_equal(
+            np.asarray(got_k).astype(np.float32), np.asarray(ref_k).astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_v).astype(np.float32), np.asarray(ref_v).astype(np.float32)
+        )
