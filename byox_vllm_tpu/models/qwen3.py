@@ -367,9 +367,12 @@ def decoder_layer(
         kv_scales = kv_layer[2] if len(kv_layer) == 3 else None
         # pool holds exactly the pre-window tokens: context_lens counts
         # prefix + tail_index + 1 (the current token rides the tail)
+        from byox_vllm_tpu.ops.kv_cache import flat_view as _fv
+
+        _f = spec.num_kv_heads * spec.head_dim
         pool_ctx = context_lens - tail_index - 1
         o = decode_attention_with_tail(
-            q[:, 0], kv_layer[0], kv_layer[1], block_tables, pool_ctx,
+            q[:, 0], _fv(kv_layer[0], _f), _fv(kv_layer[1], _f), block_tables, pool_ctx,
             k_tail, v_tail, tail_index, block_size, scale,
             kv_scales=kv_scales, backend=attention_backend,
             window=layer_window,
@@ -400,8 +403,12 @@ def decoder_layer(
             k_pool, v_pool = write_kv(kv_layer[0], kv_layer[1], k_flat, v_flat, flat_slots)
             new_kv_layer = (k_pool, v_pool)
             kv_scales = None
+        from byox_vllm_tpu.ops.kv_cache import flat_view
+
+        f = spec.num_kv_heads * spec.head_dim
         o = attend(
-            q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+            q, flat_view(k_pool, f), flat_view(v_pool, f),
+            block_tables, context_lens, positions, block_size, scale,
             kv_scales=kv_scales, window=layer_window,
         )
     o = o.reshape(b, tq, spec.q_size)
@@ -546,17 +553,30 @@ def _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden):
 
 
 def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16, tp: int = 1) -> list:
-    """Per-layer KV pool pytree, each pool [num_slots, nkv*hd] token-major
-    flat rows (see ops/kv_cache.py for why). dtype int8 selects the
-    quantized cache: per-layer (k, v, kv_scale) where kv_scale packs the
-    per-(token, head) K and V scales into one [num_slots, 128] bf16 row."""
-    shape = (num_slots, spec.num_kv_heads * spec.head_dim)
-    if jnp.dtype(dtype) == jnp.int8:
-        from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+    """Per-layer KV pool pytree, token-major (see ops/kv_cache.py for why).
 
+    Pools are stored ROW-TILED — [num_slots*8, nkv*hd/8], one token = one
+    (8, F/8) sublane window — whenever the per-shard row is a whole number
+    of (8, 128) tiles, so the decode store is an aligned DMA put
+    (ops/kv_cache.py::put_kv_rows; the XLA row scatter it replaces runs at
+    ~8 GB/s). Smaller geometries keep the flat [num_slots, nkv*hd] layout
+    and the scatter. Read paths take ``flat_view``; write paths dispatch on
+    the shape. dtype int8 selects the quantized cache: per-layer
+    (k, v, kv_scale) where kv_scale packs the per-(token, head) K and V
+    scales into one [num_slots, 128] bf16 row (always flat — a scale row is
+    a single sublane, below the put granule)."""
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, can_row_tile
+
+    f = spec.num_kv_heads * spec.head_dim
+    if can_row_tile(f // tp):
+        shape = (num_slots * 8, f // 8)
+    else:
+        shape = (num_slots, f)
+    if jnp.dtype(dtype) == jnp.int8:
         # under shard_map TP the scale pool shards its lane dim too: the
         # GLOBAL pool is tp x SCALE_LANES wide so each shard sees a local
-        # [S, SCALE_LANES] row in ITS OWN local head layout
+        # [S, SCALE_LANES] row in ITS OWN local head layout (the row-tiled
+        # KV pools shard the same way: shard-major lane blocks)
         return [
             (
                 jnp.zeros(shape, jnp.int8),

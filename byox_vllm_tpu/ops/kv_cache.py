@@ -61,60 +61,65 @@ def _put_rows_kernel(slots_ref, *refs, num_rows: int, pools: int, group: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def put_kv_rows(pools, rows, slot_mapping, *, interpret: bool = False):
-    """Scatter one new row per token into each pool via aligned DMA puts.
+    """Scatter one new row per token into each ROW-TILED pool via aligned
+    DMA puts.
 
-    ``pools``: tuple of [S, F] arrays (donated; returned updated in place).
-    ``rows``: matching tuple of [N, F] arrays. ``slot_mapping`` [N] int32,
-    -1 = padding (skipped). Each row is viewed as an 8-sublane tile
-    ([S, F] -> [S*8, F/8]), so the put is a pure aligned write — no
-    read-modify-write, unlike both the XLA row scatter (~8 GB/s effective,
-    tools/layout_probe.py Q1) and the deleted fused-store RMW windows.
-    Requires F*itemsize % 2048 == 0 (8 sublanes x 128 lanes x dtype);
-    callers gate on ``can_put_rows``."""
+    ``pools``: tuple of [S*8, F/8] arrays in the row-tiled layout (token
+    slot s = sublane rows 8s..8s+7; see ``row_tiled``). ``rows``: matching
+    tuple of [N, F] flat rows. ``slot_mapping`` [N] int32, -1 = padding
+    (skipped). Each put writes a whole (8, F/8)-row window — a pure aligned
+    write: no read-modify-write, unlike both the XLA row scatter (~8 GB/s
+    effective, tools/layout_probe.py Q1) and the deleted fused-store RMW
+    windows. The pools must arrive in the tiled shape: reshaping [S, F]
+    pools at the call site BREAKS XLA's in-place aliasing (measured 769 us
+    vs 12.6 us per 36-layer-equivalent store — the pools get copied).
+    Measured on chip: 12.6 us per 2-pool 128-row store vs the scatter's
+    45.3 us, bit-identical results for int8 and bf16."""
     n = rows[0].shape[0]
-    out_shapes = []
-    srcs = []
-    dsts = []
-    aliases = {}
-    for idx, (pool, r) in enumerate(zip(pools, rows)):
-        s, f = pool.shape
-        srcs.append(r.astype(pool.dtype).reshape(n * 8, f // 8))
-        dsts.append(pool.reshape(s * 8, f // 8))
-        out_shapes.append(jax.ShapeDtypeStruct((s * 8, f // 8), pool.dtype))
-        # operands: slots (prefetch), src_0..p, dst_0..p; outputs: dst_0..p
-        aliases[1 + len(pools) + idx] = idx
     p = len(pools)
+    srcs = [
+        r.astype(pool.dtype).reshape(n * 8, pool.shape[1])
+        for pool, r in zip(pools, rows)
+    ]
+    aliases = {1 + p + idx: idx for idx in range(p)}
     group = min(32, n)  # rows per grid step: bounds in-flight DMAs per step
-    grid = (-(-n // group),)
-    kernel = functools.partial(
-        _put_rows_kernel, num_rows=n, pools=p, group=group
-    )
+    kernel = functools.partial(_put_rows_kernel, num_rows=n, pools=p, group=group)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * p),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * p,
+        grid=(-(-n // group),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * p),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * p,
         scratch_shapes=[pltpu.SemaphoreType.DMA((p,))],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shapes,
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in pools],
         input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slot_mapping.astype(jnp.int32), *srcs, *dsts)
-    return tuple(
-        o.reshape(pool.shape) for o, pool in zip(outs, pools)
-    )
+    )(slot_mapping.astype(jnp.int32), *srcs, *pools)
+    return tuple(outs)
 
 
-def can_put_rows(pool) -> bool:
-    """True when the pool's row is a whole number of (8, 128) tiles, the
-    aligned-put granule (int8 F%1024==0; bf16 F%512==0... conservatively
-    require row bytes % 2048 == 0 AND lanes f//8 % 128 == 0)."""
-    s, f = pool.shape
+def can_row_tile(f: int) -> bool:
+    """True when a pool row of F lanes is a whole number of (8, 128) tiles
+    in the row-tiled view [S*8, F/8] — the aligned-put granule."""
     return f % 8 == 0 and (f // 8) % 128 == 0
+
+
+def is_row_tiled(pool, f: int) -> bool:
+    """Whether this pool array is stored row-tiled ([S*8, F/8]) rather than
+    flat ([S, F]). Shape-based: the two layouts never collide because the
+    tiled lane count F/8 != F."""
+    return pool.shape[1] != f
+
+
+def flat_view(pool, f: int):
+    """[S*8, F/8] row-tiled pool -> [S, F] flat view for READ paths
+    (attention page fetches, gathers). Free for reads; never feed the
+    result to an aliased write (see put_kv_rows)."""
+    return pool.reshape(-1, f) if is_row_tiled(pool, f) else pool
 
 
 def write_kv(
@@ -124,14 +129,15 @@ def write_kv(
     v_new: jnp.ndarray,  # [N, nkv, hd]
     slot_mapping: jnp.ndarray,  # [N] int32, -1 = padding (dropped)
 ):
-    n = k_new.shape[0]
-    if jax.default_backend() in ("tpu", "axon") and can_put_rows(k_pool):
-        # aligned DMA puts: the XLA row scatter runs at ~8 GB/s effective
-        # (per-row RMW; tools/layout_probe.py) — ~3.1 ms/step of ABLATE_r04
+    n, nkv, hd = k_new.shape
+    if is_row_tiled(k_pool, nkv * hd):
+        # aligned DMA puts into the row-tiled pool: the XLA row scatter
+        # runs at ~8 GB/s effective (per-row RMW; tools/layout_probe.py)
         return put_kv_rows(
             (k_pool, v_pool),
             (k_new.reshape(n, -1), v_new.reshape(n, -1)),
             slot_mapping,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
         )
     num_slots = k_pool.shape[0]
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
@@ -206,11 +212,15 @@ def write_kv_quant(
     K/V rows go via aligned DMA puts on TPU (see write_kv); the narrow scale
     rows (1 sublane each — below the put granule) stay a leading-axis
     scatter (in-place, see module docstring)."""
-    num_slots = k_pool.shape[0]
+    n, nkv, hd = k_new.shape
+    num_slots = kv_scale.shape[0]
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
     kq, vq, scale_rows = quantize_kv_rows(k_new, v_new)
-    if jax.default_backend() in ("tpu", "axon") and can_put_rows(k_pool):
-        k_pool, v_pool = put_kv_rows((k_pool, v_pool), (kq, vq), slot_mapping)
+    if is_row_tiled(k_pool, nkv * hd):
+        k_pool, v_pool = put_kv_rows(
+            (k_pool, v_pool), (kq, vq), slot_mapping,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
     else:
         k_pool = k_pool.at[slots].set(kq, mode="drop")
         v_pool = v_pool.at[slots].set(vq, mode="drop")
@@ -262,21 +272,32 @@ def write_kv_runs(
     A lane with no prefill rows (data parallelism) pads with runs aimed at
     the pool's SCRATCH block — one extra block past the last real slot that
     no block table ever references (engine/model_runner.py allocates it).
-    """
+
+    Row-tiled pools ([S*8, F/8], see ``row_tiled``): the same DUS runs with
+    every row index and length scaled by 8 — a block-aligned run stays a
+    pure aligned write in either layout."""
     n = k_new.shape[0]
+    nf = k_new.shape[-2] * k_new.shape[-1] if k_new.ndim == 3 else k_new.shape[-1]
+    tiled = is_row_tiled(k_pool, nf)
+    r = 8 if tiled else 1
     f = k_pool.shape[1]
-    kf = jnp.concatenate([k_new.reshape(n, f), jnp.zeros((block_size, f), k_new.dtype)])
-    vf = jnp.concatenate([v_new.reshape(n, f), jnp.zeros((block_size, f), v_new.dtype)])
-    kf = kf.astype(k_pool.dtype)
-    vf = vf.astype(v_pool.dtype)
+    bs = block_size * r
+
+    def prep(x):
+        return jnp.concatenate(
+            [x.reshape(n * r, f), jnp.zeros((bs, f), x.dtype)]
+        )
+
+    kf = prep(k_new.astype(k_pool.dtype))
+    vf = prep(v_new.astype(v_pool.dtype))
 
     def body(i, pools):
         kp, vp = pools
         kp = jax.lax.dynamic_update_slice_in_dim(
-            kp, jax.lax.dynamic_slice_in_dim(kf, run_src[i], block_size), run_dst[i], 0
+            kp, jax.lax.dynamic_slice_in_dim(kf, run_src[i] * r, bs), run_dst[i] * r, 0
         )
         vp = jax.lax.dynamic_update_slice_in_dim(
-            vp, jax.lax.dynamic_slice_in_dim(vf, run_src[i], block_size), run_dst[i], 0
+            vp, jax.lax.dynamic_slice_in_dim(vf, run_src[i] * r, bs), run_dst[i] * r, 0
         )
         return kp, vp
 
@@ -296,22 +317,27 @@ def write_kv_runs_quant(
     """INT8 variant of write_kv_runs: quantize all rows once, then store
     K/V/scale via block-sized dynamic-update-slices. Replaces the prefill
     row scatter, which at 8B scale cost ~0.5 ms per layer (row-serial on
-    TPU; ~50 ms of a ~300 ms prefill step across 36 layers x 3 pools)."""
-    n = k_new.shape[0]
+    TPU; ~50 ms of a ~300 ms prefill step across 36 layers x 3 pools).
+    Handles row-tiled K/V pools like write_kv_runs; the scale pool is
+    always flat."""
+    n, nkv, hd = k_new.shape
+    tiled = is_row_tiled(k_pool, nkv * hd)
+    r = 8 if tiled else 1
     f = k_pool.shape[1]
+    bs = block_size * r
     kq, vq, sc_rows = quantize_kv_rows(k_new, v_new)
-    kf = jnp.concatenate([kq, jnp.zeros((block_size, f), kq.dtype)])
-    vf = jnp.concatenate([vq, jnp.zeros((block_size, f), vq.dtype)])
+    kf = jnp.concatenate([kq.reshape(n * r, f), jnp.zeros((bs, f), kq.dtype)])
+    vf = jnp.concatenate([vq.reshape(n * r, f), jnp.zeros((bs, f), vq.dtype)])
     sf = jnp.concatenate([sc_rows, jnp.zeros((block_size, SCALE_LANES), sc_rows.dtype)])
 
     def body(i, pools):
         kp, vp, sp = pools
         src, dst = run_src[i], run_dst[i]
         kp = jax.lax.dynamic_update_slice_in_dim(
-            kp, jax.lax.dynamic_slice_in_dim(kf, src, block_size), dst, 0
+            kp, jax.lax.dynamic_slice_in_dim(kf, src * r, bs), dst * r, 0
         )
         vp = jax.lax.dynamic_update_slice_in_dim(
-            vp, jax.lax.dynamic_slice_in_dim(vf, src, block_size), dst, 0
+            vp, jax.lax.dynamic_slice_in_dim(vf, src * r, bs), dst * r, 0
         )
         sp = jax.lax.dynamic_update_slice_in_dim(
             sp, jax.lax.dynamic_slice_in_dim(sf, src, block_size), dst, 0

@@ -97,7 +97,12 @@ def qwen3_param_specs(params: dict, mesh=None, pp: int = 1) -> dict:
 
 
 def kv_cache_spec() -> P:
-    # per-layer pools [num_slots, nkv*hd]: kv-head feature dim on 'model'
+    # per-layer pools, lane dim on 'model'. Flat [num_slots, nkv*hd]: the
+    # kv-head feature dim shards by head. Row-tiled [num_slots*8, nkv*hd/8]
+    # (ops/kv_cache.py): the global array is laid out SHARD-MAJOR on lanes
+    # (make_kv_cache builds it that way), so the contiguous lane split
+    # hands each shard its own self-consistent local pool — nothing outside
+    # shard-local code ever interprets the global lane order.
     return P(None, M)
 
 

@@ -102,20 +102,20 @@ def test_engine_e2e_kv_int8(tmp_path):
 
 
 def test_put_kv_rows_matches_scatter():
-    """Aligned-DMA-put decode store == the XLA row scatter, including
-    skipped padding rows (slot -1) and both pool dtypes."""
+    """Aligned-DMA-put decode store (row-tiled pools) == the XLA row
+    scatter, including skipped padding rows (slot -1) and both dtypes."""
     import jax.numpy as jnp
     import numpy as np
 
-    from byox_vllm_tpu.ops.kv_cache import can_put_rows, put_kv_rows
+    from byox_vllm_tpu.ops.kv_cache import can_row_tile, put_kv_rows
 
     rng = np.random.default_rng(3)
     for dtype in (jnp.int8, jnp.bfloat16):
         S, F, N = 192, 1024, 16
+        assert can_row_tile(F)
         base = rng.integers(-90, 90, (2, S, F)).astype(np.int8)
         kp = jnp.asarray(base[0]).astype(dtype)
         vp = jnp.asarray(base[1]).astype(dtype)
-        assert can_put_rows(kp)
         rows = rng.integers(-90, 90, (2, N, F)).astype(np.int8)
         rk = jnp.asarray(rows[0]).astype(dtype)
         rv = jnp.asarray(rows[1]).astype(dtype)
@@ -123,13 +123,82 @@ def test_put_kv_rows_matches_scatter():
         slots[: N // 2] = rng.choice(S, N // 2, replace=False)
         slots_j = jnp.asarray(slots)
 
-        got_k, got_v = put_kv_rows((kp, vp), (rk, rv), slots_j, interpret=True)
+        got_k, got_v = put_kv_rows(
+            (kp.reshape(S * 8, F // 8), vp.reshape(S * 8, F // 8)),
+            (rk, rv), slots_j, interpret=True,
+        )
         sl = jnp.where(slots_j < 0, S, slots_j)
         ref_k = kp.at[sl].set(rk, mode="drop")
         ref_v = vp.at[sl].set(rv, mode="drop")
         np.testing.assert_array_equal(
-            np.asarray(got_k).astype(np.float32), np.asarray(ref_k).astype(np.float32)
+            np.asarray(got_k.reshape(S, F)).astype(np.float32),
+            np.asarray(ref_k).astype(np.float32),
         )
         np.testing.assert_array_equal(
-            np.asarray(got_v).astype(np.float32), np.asarray(ref_v).astype(np.float32)
+            np.asarray(got_v.reshape(S, F)).astype(np.float32),
+            np.asarray(ref_v).astype(np.float32),
         )
+
+
+def test_write_kv_dispatches_on_row_tiled_pools():
+    """write_kv / write_kv_quant accept both layouts and agree with the
+    flat-scatter reference, including the run-DUS prefill variants."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from byox_vllm_tpu.ops.kv_cache import (
+        quantize_kv_rows,
+        write_kv,
+        write_kv_quant,
+        write_kv_runs,
+        write_kv_runs_quant,
+    )
+
+    rng = np.random.default_rng(5)
+    S, nkv, hd, N, BS = 128, 8, 128, 8, 16
+    F = nkv * hd
+    k_new = jnp.asarray(rng.normal(size=(N, nkv, hd)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(N, nkv, hd)).astype(np.float32))
+    slots = np.full(N, -1, np.int32)
+    slots[: N - 2] = rng.choice(S, N - 2, replace=False)
+    sj = jnp.asarray(slots)
+
+    flat = (jnp.zeros((S, F), jnp.bfloat16), jnp.zeros((S, F), jnp.bfloat16))
+    tiled = tuple(p.reshape(S * 8, F // 8) for p in flat)
+    fk, fv = write_kv(*flat, k_new, v_new, sj)
+    tk, tv = write_kv(*tiled, k_new, v_new, sj)
+    np.testing.assert_array_equal(
+        np.asarray(fk).astype(np.float32), np.asarray(tk.reshape(S, F)).astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fv).astype(np.float32), np.asarray(tv.reshape(S, F)).astype(np.float32)
+    )
+
+    sc = jnp.zeros((S, 128), jnp.bfloat16)
+    qflat = (jnp.zeros((S, F), jnp.int8), jnp.zeros((S, F), jnp.int8), sc)
+    qtiled = (qflat[0].reshape(S * 8, F // 8), qflat[1].reshape(S * 8, F // 8), sc)
+    fk, fv, fs = write_kv_quant(*qflat, k_new, v_new, sj)
+    tk, tv, ts = write_kv_quant(*qtiled, k_new, v_new, sj)
+    np.testing.assert_array_equal(np.asarray(fk), np.asarray(tk.reshape(S, F)))
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(tv.reshape(S, F)))
+    np.testing.assert_array_equal(
+        np.asarray(fs).astype(np.float32), np.asarray(ts).astype(np.float32)
+    )
+
+    # run-DUS prefill store: one full block at dst 2, rows 0.. of the batch
+    run_dst = jnp.asarray([2 * BS], jnp.int32)
+    run_src = jnp.asarray([0], jnp.int32)
+    kb = jnp.asarray(rng.normal(size=(BS, nkv, hd)).astype(np.float32))
+    vb = jnp.asarray(rng.normal(size=(BS, nkv, hd)).astype(np.float32))
+    fk, fv = write_kv_runs(*flat, kb, vb, run_dst, run_src, BS)
+    tk, tv = write_kv_runs(*tiled, kb, vb, run_dst, run_src, BS)
+    np.testing.assert_array_equal(
+        np.asarray(fk).astype(np.float32), np.asarray(tk.reshape(S, F)).astype(np.float32)
+    )
+    fq = write_kv_runs_quant(*qflat, kb, vb, run_dst, run_src, BS)
+    tq = write_kv_runs_quant(*qtiled, kb, vb, run_dst, run_src, BS)
+    np.testing.assert_array_equal(np.asarray(fq[0]), np.asarray(tq[0].reshape(S, F)))
+    np.testing.assert_array_equal(np.asarray(fq[1]), np.asarray(tq[1].reshape(S, F)))
+    np.testing.assert_array_equal(
+        np.asarray(fq[2]).astype(np.float32), np.asarray(tq[2]).astype(np.float32)
+    )
