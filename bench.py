@@ -178,10 +178,12 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
     # measured overload, not the engine). This closed-loop pass doubles as
     # the compile warmup for every serving-K batch bucket the timed loop
     # can hit (a mid-run compile would be charged to some request's TTFT).
-    warm_p, warm_s = _workload(num_seqs, seed=seed + 1)
+    warm_p, warm_s = _workload(num_seqs, seed=seed + 3)
+    llm.generate(warm_p, warm_s, use_tqdm=False)  # compile K=serve_k buckets
+    cal_p, cal_s = _workload(num_seqs, seed=seed + 1)
     t0 = time.perf_counter()
-    llm.generate(warm_p, warm_s, use_tqdm=False)
-    serve_capacity = sum(sp.max_tokens for sp in warm_s) / (time.perf_counter() - t0)
+    llm.generate(cal_p, cal_s, use_tqdm=False)  # timed: all programs warm
+    serve_capacity = sum(sp.max_tokens for sp in cal_s) / (time.perf_counter() - t0)
     # arrival-mode prefills land one request at a time (smallest batch
     # bucket), a shape the batched warmups above never hit
     solo_p, solo_s = _workload(1, seed=seed + 2)
@@ -273,7 +275,11 @@ def _run_prefix_phase(llm, num_seqs: int, seed: int = 5) -> dict:
             "tok_s": round(num_seqs * 32 / wall, 1),
         }
 
-    run(make_prompts(False))  # warmup: compiles this phase's shape buckets
+    # warmups compile BOTH arms' shape buckets: unique-prefix prompts hit
+    # full-length prefill shapes; shared-prefix prompts hit the short
+    # cached-suffix chunk shapes (the r3 phase timed an 11 s compile as TTFT)
+    run(make_prompts(False))
+    run(make_prompts(True))
     cold = run(make_prompts(False))
     shared = run(make_prompts(True))
     return {

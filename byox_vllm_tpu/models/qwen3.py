@@ -565,10 +565,18 @@ def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16, tp: int =
     (k, v, kv_scale) where kv_scale packs the per-(token, head) K and V
     scales into one [num_slots, 128] bf16 row (always flat — a scale row is
     a single sublane, below the put granule)."""
+    import os
+
     from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, can_row_tile
 
     f = spec.num_kv_heads * spec.head_dim
-    if can_row_tile(f // tp):
+    # Row-tiled is an EXPERIMENT, default off: the put kernel beats the
+    # scatter 12.6 vs 45 us in isolation, but inside the full step program
+    # the layout costs ~15 ms/step — XLA materializes pool copies around
+    # the bitcast views feeding the attention custom-calls (engine-measured
+    # 31 vs ~16 ms/step; the isolated-read probe was inconclusive). Fixing
+    # it needs the attention kernels to consume the tiled shape natively.
+    if can_row_tile(f // tp) and os.environ.get("BYOX_ROW_TILED_KV") == "1":
         shape = (num_slots * 8, f // 8)
     else:
         shape = (num_slots, f)

@@ -59,10 +59,12 @@ def _put_rows_kernel(slots_ref, *refs, num_rows: int, pools: int, group: int):
     each(lambda p, i, slot: copy(p, i, slot).wait())
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def put_kv_rows(pools, rows, slot_mapping, *, interpret: bool = False):
     """Scatter one new row per token into each ROW-TILED pool via aligned
-    DMA puts.
+    DMA puts. NOT jitted on purpose: a nested jit boundary around the
+    aliased pallas_call defeats XLA's in-place analysis and the pools get
+    copied (engine-measured +400 us/layer); callers are always inside the
+    step program's jit already.
 
     ``pools``: tuple of [S*8, F/8] arrays in the row-tiled layout (token
     slot s = sublane rows 8s..8s+7; see ``row_tiled``). ``rows``: matching
