@@ -52,6 +52,12 @@ class Config:
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"  # "auto" (= dtype) | "int8"
     quantization: str | None = None  # None | "int8" | "int4" | "w4a8"
+    # Quantization group size along the reduction dim (None = 128). Larger
+    # groups cut the W4A8 kernel's per-group VPU scale work (on-chip
+    # microbench at the 8B gate_up shape: g128 0.105 ms, g256 0.095,
+    # g512 0.082) at a small quality cost — gate any change with
+    # tools/quality_gate.py.
+    quant_group: int | None = None
     attention_backend: str = "auto"  # "auto" | "pallas" | "dense"
     # With weight quantization on, also quantize the (untied) LM head to
     # int8: the V x D head is the largest single matrix and streams fully

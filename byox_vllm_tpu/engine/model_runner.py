@@ -184,6 +184,7 @@ class ModelRunner:
             )
             self.spec = replace(
                 self.spec, quant_bits=bits, act_bits=act_bits, head_bits=head_bits,
+                quant_group=config.quant_group,
             )
         self.forward_fn = model_cls.forward
         self.block_size = config.kvcache_block_size

@@ -166,6 +166,7 @@ class Qwen3Spec:
     qk_norm: bool  # per-head q/k RMSNorm (Qwen3: yes; Qwen2/Llama: no)
     max_position_embeddings: int
     quant_bits: int | None = None  # weight-only quantization: None | 8 | 4
+    quant_group: int | None = None  # scale group size (None = 128)
     act_bits: int | None = None  # 8 = W4A8: int8 activations on the int8 MXU
     # LM head quantization (untied heads only). Always int8 even for int4
     # body weights: the head is the single largest matrix (V x D, 1.2 GB
@@ -270,7 +271,9 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
                 jax.random.fold_in(k, layer), shape[1:], dtype=dtype
             )
             per_layer.append(
-                quantize_weight(x, spec.quant_bits, on_device=True)
+                quantize_weight(
+                    x, spec.quant_bits, group=spec.quant_group, on_device=True
+                )
             )
         return {
             "q": jnp.stack([p["q"] for p in per_layer]),
