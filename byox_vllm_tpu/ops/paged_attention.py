@@ -860,8 +860,12 @@ def paged_decode_attention_v3(
     assert b % sb == 0, (b, sb)
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
-    # chunk size: stay within ~4 MiB of double-buffered K+V VMEM per seq set
-    budget = 4 * 1024 * 1024
+    # chunk size: stay within a VMEM budget of double-buffered K+V per seq
+    # set. Tunable: larger sb needs a larger budget to keep one chunk
+    # (sb=8 at 4 MiB split into 2 chunks and LOST — ablate_sb8 r4)
+    import os as _os
+
+    budget = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "4")) * 1024 * 1024
     bytes_per_page = block_size * f * k_pool.dtype.itemsize * 2 * 2 * sb
     ppc = max(1, min(w, budget // max(bytes_per_page, 1)))
     if max_pages_per_chunk is not None:
