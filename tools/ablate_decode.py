@@ -49,7 +49,10 @@ def main():
     spec = Qwen3Spec.from_hf_config(hf, qk_norm=True)
     if args.quant != "none":
         from dataclasses import replace
-        spec = replace(spec, quant_bits={"int8": 8, "int4": 4}[args.quant])
+        bits = {"int8": 8, "int4": 4, "w4a8": 4}[args.quant]
+        spec = replace(
+            spec, quant_bits=bits, act_bits=8 if args.quant == "w4a8" else None
+        )
     B, CTX, K, BS = args.batch, args.ctx, args.steps, args.block
     pages = -(-(CTX + K) // BS)
     num_slots = B * pages * BS
