@@ -345,6 +345,7 @@ def _run_bench() -> dict:
         num_decode_steps=int(os.environ.get("BYOX_BENCH_STEPS", "16")),
         quantization=quant,
         kv_cache_dtype=kv_dtype,
+        quant_group=int(os.environ.get("BYOX_BENCH_QUANT_GROUP", "0")) or None,
         # 128-token KV pages at this workload's ctx <= 256: half the
         # per-(seq, page) DMA issues in decode attention (~81 ns each x 3
         # pools x 36 layers was ~2.7 ms/step of ABLATE_r04's attention term)
