@@ -23,7 +23,10 @@ def set_global_log_level(level: int | str) -> None:
 def _setup_root() -> logging.Logger:
     root = logging.getLogger(_ROOT_NAME)
     if not root.handlers:
-        handler = logging.StreamHandler(sys.stdout)
+        # stderr, not stdout: bench.py's driver contract is ONE JSON line on
+        # stdout, and engine warnings (e.g. random-init notice) were leaking
+        # into it (the reference logs to stdout; its bench has no contract)
+        handler = logging.StreamHandler(sys.stderr)
         handler.setFormatter(logging.Formatter(_FORMAT))
         root.addHandler(handler)
         root.setLevel(logging.WARNING)
