@@ -77,6 +77,15 @@ class Config:
     async_decode: bool = True
     enable_chunked_prefill: bool = True  # split prompts longer than the token budget
     speculative_config: Any = None
+    # On-device multi-round ngram speculative decoding: how many draft+
+    # verify+accept rounds run per device dispatch (one host round trip per
+    # M rounds — the spec analogue of num_decode_steps; SPEC_r04 measured the
+    # one-round-per-trip design at 0.194x wall clock purely from RTT).
+    # None = auto (8); 0 disables the device path (host proposer per round).
+    spec_rounds: int | None = None
+    # recent-token window for the ON-DEVICE ngram match (the host proposer
+    # scans the full history; the device buffer is fixed-size)
+    spec_ngram_window: int = 64
     seed: int = 0
 
     def __post_init__(self):

@@ -63,6 +63,12 @@ class LLMEngine:
                 self.proposer = NgramProposer(
                     sc.num_speculative_tokens, sc.prompt_lookup_min, sc.prompt_lookup_max
                 )
+                # on-device multi-round drafting (model_runner.run_spec_ngram):
+                # M rounds per host trip; 0 = host proposer every round
+                rounds = 8 if config.spec_rounds is None else config.spec_rounds
+                if config.enforce_eager:
+                    rounds = 0
+                self._spec_device_rounds = max(0, rounds)
             elif sc.method == "draft_model":
                 self.proposer = DraftModelProposer(sc, config)
             elif sc.method == "eagle":
@@ -71,6 +77,11 @@ class LLMEngine:
                 raise AssertionError(f"unsupported speculative method {sc.method!r}")
             self.spec_metrics = SpecMetrics()
             lookahead = sc.num_speculative_tokens + 1
+            if getattr(self, "_spec_device_rounds", 0):
+                # the scheduler reserves KV for the whole on-device window;
+                # _pick_lookahead halves it (rounds stay integral: the window
+                # is rounds * (k+1)) when max_model_len headroom runs short
+                lookahead = self._spec_device_rounds * lookahead
         # KV blocks below the sliding-window floor are releasable only when
         # EVERY layer is windowed (Qwen2 keeps lower layers full-attention)
         mspec = self.model_runner.spec
@@ -171,22 +182,45 @@ class LLMEngine:
             # num_cached_tokens, so post-run reads always see 0
             for s in seqs:
                 # first chunk of this prefill (allocate() starts computed at
-                # cached; later chunks advance computed past it)
-                if s.num_computed_tokens == s.num_cached_tokens:
+                # cached; later chunks advance computed past it). Each request
+                # counts ONCE: a preempted seq re-prefills, and counting the
+                # recompute pass again would skew prefix_cached_token_frac
+                # under memory pressure (ADVICE r4).
+                if s.num_computed_tokens == s.num_cached_tokens and not s.prompt_counted:
+                    s.prompt_counted = True
                     self.metrics.prompt_tokens += s.num_tokens
                     self.metrics.cached_prompt_tokens += s.num_cached_tokens
         if not is_prefill and self.proposer is not None:
-            max_draft = self.scheduler.last_lookahead - 1
-            if hasattr(self.proposer, "propose_all"):  # draft-model proposer
-                drafts = [d[:max_draft] for d in self.proposer.propose_all(seqs, max_draft)]
-            else:
-                drafts = [self.proposer.propose(s.token_ids)[:max_draft] for s in seqs]
-            token_ids, accepted = self.model_runner.run_spec(
-                seqs, drafts, self.proposer.k
+            k = self.proposer.k
+            rounds = (
+                self.scheduler.last_lookahead // (k + 1)
+                if getattr(self, "_spec_device_rounds", 0)
+                else 0
             )
-            self.metrics.decode_model_steps += 1
-            for d, a in zip(drafts, accepted):
-                self.spec_metrics.record(len(d), min(int(a), len(d)))
+            if rounds >= 1:
+                # on-device multi-round path (ngram only): M draft+verify
+                # rounds per dispatch, one host trip total
+                token_ids, drafts_m, accepted_m = self.model_runner.run_spec_ngram(
+                    seqs, k, rounds, self.proposer.min_n, self.proposer.max_n,
+                    self.config.spec_ngram_window,
+                )
+                self.metrics.decode_model_steps += rounds
+                for m in range(rounds):
+                    for i in range(len(seqs)):
+                        d = int(drafts_m[m, i])
+                        self.spec_metrics.record(d, min(int(accepted_m[m, i]), d))
+            else:
+                max_draft = self.scheduler.last_lookahead - 1
+                if hasattr(self.proposer, "propose_all"):  # draft-model proposer
+                    drafts = [d[:max_draft] for d in self.proposer.propose_all(seqs, max_draft)]
+                else:
+                    drafts = [self.proposer.propose(s.token_ids)[:max_draft] for s in seqs]
+                token_ids, accepted = self.model_runner.run_spec(
+                    seqs, drafts, self.proposer.k
+                )
+                self.metrics.decode_model_steps += 1
+                for d, a in zip(drafts, accepted):
+                    self.spec_metrics.record(len(d), min(int(a), len(d)))
             if getattr(self.proposer, "wants_hidden", False):
                 # eagle: harvest the verify step's target features
                 self.proposer.observe_verify(seqs, token_ids, self.model_runner.last_hidden)

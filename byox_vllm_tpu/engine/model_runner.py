@@ -51,8 +51,11 @@ from byox_vllm_tpu.parallel.shardings import kv_cache_spec, qwen3_param_specs, s
 from byox_vllm_tpu.utils.loader import param_bytes
 from byox_vllm_tpu.utils.logging import logger
 
-# Per-chip HBM by TPU generation, for platforms whose PJRT plugin implements
-# no memory_stats (the axon tunnel). Sources: public TPU system specs.
+# Per-JAX-DEVICE HBM by TPU generation, for platforms whose PJRT plugin
+# implements no memory_stats (the axon tunnel). Sources: public TPU system
+# specs. v2/v3 expose one jax device per TensorCore (two per chip), so their
+# entries are half the per-chip HBM (ADVICE r4: the per-chip figures would
+# over-budget the KV pool 2x there).
 _HBM_BY_DEVICE_KIND = [
     ("v5 lite", 16),  # v5e
     ("v5litepod", 16),
@@ -61,8 +64,8 @@ _HBM_BY_DEVICE_KIND = [
     ("v6 lite", 32),  # Trillium
     ("v6e", 32),
     ("v4", 32),
-    ("v3", 32),
-    ("v2", 16),
+    ("v3", 16),  # 32 GiB/chip, 2 devices
+    ("v2", 8),  # 16 GiB/chip, 2 devices
 ]
 
 
@@ -210,7 +213,9 @@ class ModelRunner:
                     from byox_vllm_tpu.models.qwen3 import quantize_head
 
                     head_bits = 8
-                    params["lm_head"] = quantize_head(params["lm_head"], head_bits)
+                    params["lm_head"] = quantize_head(
+                        params["lm_head"], head_bits, group=config.quant_group
+                    )
                 self.spec = replace(self.spec, quant_bits=qmeta["bits"], head_bits=head_bits)
                 logger.info("loaded pre-quantized int%d pack from %s", qmeta["bits"], config.model)
             else:
@@ -385,10 +390,25 @@ class ModelRunner:
             capture_hidden=self.capture_hidden,
             **tp_kwargs,
         )
+        def spec_multi_impl(rounds, num_spec, min_n, max_n):
+            return partial(
+                _spec_multi_step,
+                forward_fn=self.forward_fn,
+                spec=run_model_spec,
+                block_size=self.block_size,
+                attention_backend=config.attention_backend,
+                rounds=rounds, num_spec=num_spec, min_n=min_n, max_n=max_n,
+                **tp_kwargs,
+            )
+
+        self._spec_multi_cache: dict = {}
         if self.tp == 1 and self.dp == 1 and self.pp == 1:
             self._step = jax.jit(step_impl, donate_argnums=(1,))
             self._decode = jax.jit(decode_impl, donate_argnums=(1,))
             self._spec_verify = jax.jit(verify_impl, donate_argnums=(1,))
+            self._make_spec_multi = lambda *a: jax.jit(
+                spec_multi_impl(*a), donate_argnums=(1,)
+            )
         else:
             # dp > 1 must also take the shard_map path: under shard_map each
             # data shard scatters only ITS rows into ITS pool replica (the
@@ -502,6 +522,22 @@ class ModelRunner:
             self._step = make_caller("step", step_impl, step_specs)
             self._decode = make_caller("decode", decode_impl, decode_specs)
             self._spec_verify = make_caller("verify", verify_impl, verify_specs)
+
+            def spec_multi_specs(args):
+                filters, seed_info = args[-2], args[-1]
+                ins = (
+                    param_specs, kv_specs, P(Dx, None), P(Dx), P(Dx),
+                    P(Dx, None), P(Dx), P(),
+                    opt((P(Dx), P(Dx)), filters),
+                    opt((P(Dx), P(Dx)), seed_info),
+                )
+                outs = (P(None, Dx, None), P(None, Dx), P(None, Dx), kv_specs)
+                return ins, outs
+
+            self._make_spec_multi = lambda *a: make_caller(
+                "spec_multi_" + "_".join(map(str, a)),
+                spec_multi_impl(*a), spec_multi_specs,
+            )
         # Shape buckets. Every distinct shape is a separate compiled program
         # (and on this backend each program load costs ~1s per process), so
         # the bucket sets are deliberately small: block-table width is always
@@ -794,6 +830,83 @@ class ModelRunner:
         num_emitted = self._host_fetch(num_emitted)[dst]
         return [tokens[i, : num_emitted[i]].tolist() for i in range(n)], num_emitted - 1
 
+    def run_spec_ngram(
+        self, seqs: list[Sequence], num_spec: int, rounds: int,
+        min_n: int, max_n: int, window: int,
+    ) -> tuple[list[list[int]], np.ndarray, np.ndarray]:
+        """On-device multi-round ngram speculative decoding: M draft+verify+
+        accept rounds scanned in one compiled program (_spec_multi_step), one
+        host round trip per M rounds. The scheduler must have reserved
+        rounds*(num_spec+1) tokens of KV capacity (engine wiring).
+
+        Returns (emitted token lists per sequence, draft counts [M, n],
+        accepted counts [M, n]) — the per-round stats feed SpecMetrics."""
+        from byox_vllm_tpu.engine.batch_prep import _sampling_filters, _sampling_seeds
+
+        n = len(seqs)
+        num_rows, rows = self._layout(seqs, n)
+        dst = np.arange(n) if rows is None else rows
+        r = window
+        toks = np.full((num_rows, r), -1, np.int32)
+        blens = np.zeros(num_rows, np.int32)
+        clens = np.zeros(num_rows, np.int32)
+        temps = np.ones(num_rows, np.float32)
+        wpad = _next_bucket(
+            max(1, max(len(s.block_table) for s in seqs)), self.table_buckets
+        )
+        tables = np.full((num_rows, wpad), -1, np.int32)
+        for i, s in enumerate(seqs):
+            t = s.token_ids[-r:]
+            row = dst[i]
+            toks[row, r - len(t):] = t
+            blens[row] = len(t)
+            clens[row] = len(s)
+            temps[row] = s.temperature
+            tables[row, : len(s.block_table)] = s.block_table
+
+        def pad_rows(arr, fill):
+            out = np.full((num_rows,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[dst] = arr
+            return out
+
+        filters = None
+        top_k, top_p = _sampling_filters(seqs)
+        if top_k is not None:
+            filters = (
+                jnp.asarray(pad_rows(top_k, 0)),
+                jnp.asarray(pad_rows(top_p, np.float32(1.0))),
+            )
+        seed_info = None
+        seeds, steps = _sampling_seeds(seqs)
+        if seeds is not None:
+            seed_info = (
+                jnp.asarray(pad_rows(seeds, -1)),
+                jnp.asarray(pad_rows(steps, 0)),
+            )
+        key_ = (rounds, num_spec, min_n, max_n)
+        fn = self._spec_multi_cache.get(key_)
+        if fn is None:
+            fn = self._spec_multi_cache[key_] = self._make_spec_multi(*key_)
+        self.rng, step_key = jax.random.split(self.rng)
+        tok_rounds, emit_rounds, draft_rounds, self.kv_cache = fn(
+            self.params, self.kv_cache,
+            jnp.asarray(toks), jnp.asarray(blens), jnp.asarray(clens),
+            jnp.asarray(tables), jnp.asarray(temps), step_key,
+            filters, seed_info,
+        )
+        tok_rounds = self._host_fetch(tok_rounds)[:, dst]  # [M, n, K+1]
+        emit_rounds = self._host_fetch(emit_rounds)[:, dst]  # [M, n]
+        draft_rounds = self._host_fetch(draft_rounds)[:, dst]
+        token_lists = [
+            [
+                int(t)
+                for m in range(rounds)
+                for t in tok_rounds[m, i, : emit_rounds[m, i]]
+            ]
+            for i in range(n)
+        ]
+        return token_lists, draft_rounds, emit_rounds - 1
+
 
 def _model_step(
     params,
@@ -1004,6 +1117,96 @@ def _multi_decode_step(
         else:
             new_kv.append(write_kv(lay[0], lay[1], k_rows, v_rows, flat_slots))
     return tokens.T, new_kv
+
+
+def _spec_multi_step(
+    params,
+    kv_cache,
+    toks_buf,  # [B, R] int32 right-aligned recent tokens (-1 left pad)
+    buf_lens,  # [B] int32 valid token counts (<= R)
+    cur_lens,  # [B] int32 current sequence length (0 = padding row)
+    block_tables,  # [B, W] int32
+    temperatures,  # [B] f32
+    key,
+    filters=None,
+    seed_info=None,
+    *,
+    forward_fn,
+    spec,
+    block_size,
+    attention_backend="auto",
+    rounds,  # M verify rounds scanned on device
+    num_spec,  # K draft tokens per round
+    min_n,
+    max_n,
+    tp_axis=None,
+    global_vocab=0,
+):
+    """M speculative rounds in ONE device program: each round drafts on
+    device (ops/ngram.py), verifies all K positions in one forward, and
+    rejection-samples — the sampled tokens feed the next round's draft buffer
+    without leaving the chip. This is what makes spec decode serving-viable
+    over a high-RTT link: SPEC_r04 measured the one-round-per-host-trip
+    design at 0.194x wall-clock DESPITE 0.90 acceptance, because every ~2
+    emitted tokens paid a tunnel round trip while the plain decode path
+    amortizes 16 steps per dispatch (VERDICT r4 #3b).
+
+    Slot mapping is computed ON DEVICE from the block tables (the host cannot
+    know round n+1's write positions — they depend on round n's acceptance);
+    the scheduler pre-reserves rounds*(K+1) tokens of KV capacity.
+
+    Returns (tok_rounds [M, B, K+1], emit_rounds [M, B], draft_rounds [M, B],
+    kv_cache). Row b of round m emits tok_rounds[m, b, :emit_rounds[m, b]]."""
+    from byox_vllm_tpu.ops.attention import paged_attention
+    from byox_vllm_tpu.ops.ngram import append_tokens_device, ngram_propose_device
+    from byox_vllm_tpu.ops.spec_sampler import verify_and_sample
+
+    b, r = toks_buf.shape
+    k1 = num_spec + 1
+    w = block_tables.shape[1]
+    top_k, top_p = filters if filters is not None else (None, None)
+    attention_fn = partial(paged_attention, backend=attention_backend)
+    col = jnp.arange(k1, dtype=jnp.int32)[None, :]
+
+    def body(carry, rnd):
+        toks, blens, clens, kv = carry
+        live = clens > 0
+        drafts, ndraft = ngram_propose_device(toks, blens, min_n, max_n, num_spec)
+        ndraft = jnp.where(live, ndraft, 0)
+        token_ids = jnp.concatenate([jnp.maximum(toks[:, -1:], 0), drafts], axis=1)
+        q_lens = jnp.where(live, 1 + ndraft, 0)
+        ctx = jnp.where(live, clens + ndraft, 0)
+        # query positions clens-1 .. clens-1+K; their pool slots from the
+        # padded block table (same arithmetic as host prepare_spec_verify)
+        pos = jnp.maximum(clens - 1, 0)[:, None] + col
+        bt_idx = jnp.clip(pos // block_size, 0, w - 1)
+        blk = jnp.take_along_axis(block_tables, bt_idx, axis=1)
+        slots = blk * block_size + pos % block_size
+        slots = jnp.where((col < q_lens[:, None]) & (blk >= 0), slots, -1)
+        logits, kv = forward_fn(
+            params, kv, token_ids, q_lens, ctx, slots, block_tables,
+            spec, block_size, attention_fn=attention_fn, all_logits=True,
+            tp_axis=tp_axis,
+        )
+        rkey = jax.random.fold_in(key, rnd)
+        if seed_info is not None:
+            seeds, steps = seed_info[0], seed_info[1] + (clens - cur_lens)
+        else:
+            seeds, steps = None, None
+        tokens, num_emitted = verify_and_sample(
+            logits, drafts, ndraft, temperatures, rkey,
+            top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
+        )
+        num_emitted = jnp.where(live, num_emitted, 0)
+        toks, blens = append_tokens_device(toks, blens, tokens, num_emitted)
+        clens = clens + num_emitted
+        return (toks, blens, clens, kv), (tokens, num_emitted, ndraft)
+
+    (_, _, _, kv_cache), (tok_rounds, emit_rounds, draft_rounds) = jax.lax.scan(
+        body, (toks_buf, buf_lens, cur_lens, kv_cache),
+        jnp.arange(rounds, dtype=jnp.int32),
+    )
+    return tok_rounds, emit_rounds, draft_rounds, kv_cache
 
 
 def _spec_verify_step(

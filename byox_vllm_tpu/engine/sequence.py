@@ -50,6 +50,12 @@ class Sequence:
     # that shard's pool replica, so it must never migrate)
     dp_shard: int = field(default=0, init=False)
 
+    # prefix-cache metrics: whether this request's prompt was already counted
+    # (a preempted sequence re-prefills; without the flag its prompt tokens
+    # would be counted once per prefill PASS, skewing prefix_cached_token_frac
+    # under memory pressure — ADVICE r4)
+    prompt_counted: bool = field(default=False, init=False)
+
     # speculative decoding: draft tokens scheduled for verification this step
     num_draft_tokens: int = field(default=0, init=False)
     # async pipelined decode: tokens dispatched to the device but not yet

@@ -29,9 +29,18 @@ class NgramProposer:
         self.max_n = prompt_lookup_max
 
     def propose(self, token_ids: list[int]) -> list[int]:
-        """Up to k draft tokens continuing ``token_ids``; [] if no n-gram of
-        length in [min_n, max_n] recurs (most recent occurrence wins; native
-        C++ scan when available, numpy window match otherwise)."""
+        """k draft tokens continuing ``token_ids``; [] if no n-gram of length
+        in [min_n, max_n] recurs (most recent occurrence wins; native C++
+        scan when available, numpy window match otherwise).
+
+        Drafts are CYCLE-EXTENDED to the full k: the match ending q tokens
+        before the sequence end implies period q, so position end+i predicts
+        token_ids[end - q + (i % q)]. Without the wrap, the most recent match
+        on a period-p loop sits ~p tokens from the end and the continuation
+        slice truncates to ~p-n tokens — SPEC_r04 measured 1.11-token drafts
+        at 0.90 acceptance, wasting the whole verify window (VERDICT r4 #3a).
+        For a far-back match (q >= k) the wrap never triggers and this equals
+        the plain continuation slice."""
         if _native is not None:
             return _native.ngram_propose(token_ids, self.min_n, self.max_n, self.k)
         size = len(token_ids)
@@ -43,7 +52,8 @@ class NgramProposer:
             matches = np.nonzero((windows == tail).all(axis=1))[0]
             if len(matches):
                 start = int(matches[-1])
-                return token_ids[start + n : start + n + self.k]
+                q = size - n - start  # inferred period (>= 1)
+                return [token_ids[size - q + (i % q)] for i in range(self.k)]
         return []
 
 

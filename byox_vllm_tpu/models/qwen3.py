@@ -100,18 +100,20 @@ def _slice_layer(w, i):
     return w[i]
 
 
-def quantize_layer_params(layer_params: dict, bits: int) -> dict:
+def quantize_layer_params(layer_params: dict, bits: int, group: int | None = None) -> dict:
     """Quantize the four big per-layer matmul weights (stacked [L, K, M]);
     norms/bias stay dense. TP-agnostic: serving-time scale-row sharding is
-    handled by exact group refinement (parallel/tp.py::tp_refine_layer_scales)."""
+    handled by exact group refinement (parallel/tp.py::tp_refine_layer_scales).
+    ``group`` threads config.quant_group so checkpoint loads honor the same
+    knob as random init (ADVICE r4: it was silently dropped here)."""
     out = dict(layer_params)
     for name in QUANTIZED_LAYER_WEIGHTS:
         if name in layer_params:  # MoE layers have no dense w_gate_up/w_down
-            out[name] = quantize_weight(layer_params[name], bits)
+            out[name] = quantize_weight(layer_params[name], bits, group=group)
     return out
 
 
-def quantize_head(lm_head, bits: int, on_device: bool = False) -> dict:
+def quantize_head(lm_head, bits: int, on_device: bool = False, group: int | None = None) -> dict:
     """lm_head [V, D] float -> {"q": int8 [D, V_pad], "s": f32 [D/G, V_pad]}
     stored pre-transposed for the fused dequant-matmul (x [N, D] @ W [D, V]).
     V is padded up to a multiple of 1024 so the qmm kernel can tile the
@@ -123,12 +125,12 @@ def quantize_head(lm_head, bits: int, on_device: bool = False) -> dict:
     if on_device:
         w = jnp.zeros((d, v_pad), jnp.float32)
         w = jax.lax.dynamic_update_slice(w, lm_head.astype(jnp.float32).T, (0, 0))
-        return quantize_weight(w, bits=bits, on_device=True)
+        return quantize_weight(w, bits=bits, group=group, on_device=True)
     import numpy as np
 
     w = np.zeros((d, v_pad), np.float32)
     w[:, :v] = np.asarray(jax.device_get(lm_head)).astype(np.float32).T
-    return quantize_weight(w, bits=bits)
+    return quantize_weight(w, bits=bits, group=group)
 
 
 def unstack_layer_params(layer_params: dict, num_layers: int) -> dict:

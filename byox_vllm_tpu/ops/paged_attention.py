@@ -821,14 +821,37 @@ def _decode_kernel_v3(
         o_ref[...] = out.reshape(sb, nh, head_dim).astype(o_ref.dtype)
 
 
+def paged_decode_attention_v3(
+    q, k_pool, v_pool, block_tables, context_lens, *,
+    block_size, scale, interpret=False, kv_scales=None,
+    max_pages_per_chunk=None, seqs_per_step=4, k_tail=None, v_tail=None,
+    tail_len=None, window=None, attn_vmem_mb=None,
+):
+    """Unjitted wrapper: BYOX_ATTN_VMEM_MB is resolved HERE so the jit cache
+    keys on its value — an in-jit env read bakes the first trace's value per
+    shape, silently reusing the stale variant in A/B sweeps (ADVICE r4; same
+    trap as BYOX_QMM_POST_SCALE in ops/quant.py)."""
+    import os as _os
+
+    if attn_vmem_mb is None:
+        attn_vmem_mb = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "4"))
+    return _paged_decode_attention_v3(
+        q, k_pool, v_pool, block_tables, context_lens,
+        block_size=block_size, scale=scale, interpret=interpret,
+        kv_scales=kv_scales, max_pages_per_chunk=max_pages_per_chunk,
+        seqs_per_step=seqs_per_step, k_tail=k_tail, v_tail=v_tail,
+        tail_len=tail_len, window=window, attn_vmem_mb=attn_vmem_mb,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step",
-        "window",
+        "window", "attn_vmem_mb",
     ),
 )
-def paged_decode_attention_v3(
+def _paged_decode_attention_v3(
     q: jnp.ndarray,  # [B, nh, hd]
     k_pool: jnp.ndarray,  # [S, nkv*hd]
     v_pool: jnp.ndarray,  # [S, nkv*hd]
@@ -845,6 +868,7 @@ def paged_decode_attention_v3(
     v_tail=None,
     tail_len=None,  # scalar int32: tail rows 0..tail_len attend
     window: int | None = None,  # sliding-window attention (band mask + DMA skip)
+    attn_vmem_mb: int = 4,
 ):
     b, nh, hd = q.shape
     s, f = k_pool.shape
@@ -863,9 +887,7 @@ def paged_decode_attention_v3(
     # chunk size: stay within a VMEM budget of double-buffered K+V per seq
     # set. Tunable: larger sb needs a larger budget to keep one chunk
     # (sb=8 at 4 MiB split into 2 chunks and LOST — ablate_sb8 r4)
-    import os as _os
-
-    budget = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "4")) * 1024 * 1024
+    budget = attn_vmem_mb * 1024 * 1024
     bytes_per_page = block_size * f * k_pool.dtype.itemsize * 2 * 2 * sb
     ppc = max(1, min(w, budget // max(bytes_per_page, 1)))
     if max_pages_per_chunk is not None:

@@ -110,12 +110,16 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
     if spec.quant_bits is not None:
         from byox_vllm_tpu.models.qwen3 import quantize_layer_params
 
-        params["layers"] = quantize_layer_params(params["layers"], spec.quant_bits)
+        params["layers"] = quantize_layer_params(
+            params["layers"], spec.quant_bits, group=spec.quant_group
+        )
         logger.info("quantized layer weights to int%d", spec.quant_bits)
     if spec.head_bits is not None and not spec.tie_word_embeddings:
         from byox_vllm_tpu.models.qwen3 import quantize_head
 
-        params["lm_head"] = quantize_head(params["lm_head"], spec.head_bits)
+        params["lm_head"] = quantize_head(
+            params["lm_head"], spec.head_bits, group=spec.quant_group
+        )
         logger.info("quantized lm_head to int%d", spec.head_bits)
     logger.info("loaded %d tensors from %s", len(raw), path)
     return params

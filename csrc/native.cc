@@ -124,7 +124,10 @@ static PyObject* py_hash_block(PyObject*, PyObject* args) {
 
 // ngram_propose(token_ids: sequence[int], min_n, max_n, k) -> list[int]
 // Most recent earlier occurrence of the trailing n-gram (longest n first),
-// returning up to k following tokens. Mirrors engine/spec.py NgramProposer.
+// returning k following tokens, CYCLE-EXTENDED when the continuation runs
+// off the end of the sequence (the match ending q tokens before the end
+// implies period q; see engine/spec.py NgramProposer.propose for why short
+// drafts wasted the verify window). Mirrors the Python fallback exactly.
 static PyObject* py_ngram_propose(PyObject*, PyObject* args) {
   PyObject* tokens;
   int min_n, max_n, k;
@@ -147,11 +150,11 @@ static PyObject* py_ngram_propose(PyObject*, PyObject* args) {
     for (Py_ssize_t start = size - 1 - n; start >= 0; --start) {
       if (std::memcmp(ids.data() + start, tail, sizeof(int64_t) * (size_t)n) == 0) {
         Py_ssize_t from = start + n;
-        Py_ssize_t count = size - from < (Py_ssize_t)k ? size - from : (Py_ssize_t)k;
-        PyObject* out = PyList_New(count);
+        Py_ssize_t q = size - from;  // inferred period, >= 1
+        PyObject* out = PyList_New(k);
         if (!out) return nullptr;
-        for (Py_ssize_t i = 0; i < count; i++) {
-          PyList_SET_ITEM(out, i, PyLong_FromLongLong(ids[(size_t)(from + i)]));
+        for (Py_ssize_t i = 0; i < (Py_ssize_t)k; i++) {
+          PyList_SET_ITEM(out, i, PyLong_FromLongLong(ids[(size_t)(from + (i % q))]));
         }
         return out;
       }

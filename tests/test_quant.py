@@ -274,3 +274,34 @@ def test_engine_w4a8_end_to_end():
     out = llm.generate([[1, 2, 3]], SamplingParams(max_tokens=6, ignore_eos=True,
                                                    temperature=0.0), use_tqdm=False)
     assert len(out[0]["token_ids"]) == 6
+
+
+def test_w8a8_head_kernel_matches_emulation():
+    """W8A8 kernel path (bits=8 of quant_matmul_w4a8_pallas — the LM head
+    under w4a8 mode) vs its exact XLA emulation at a head-like shape
+    (K = hidden, M = padded-vocab multiple). ADVICE r4: this path drove the
+    head every decode step with no interpret-mode parity test (test_quant
+    covered only bits=4, and the CPU e2e test ties embeddings so the
+    quantized-head kernel never ran in CI)."""
+    import numpy as np
+    from byox_vllm_tpu.ops.quant import (
+        dequantize,
+        quant_matmul_w4a8_pallas,
+        quantize_activations,
+        quantize_weight,
+    )
+
+    rng = np.random.default_rng(7)
+    N, K, M = 16, 256, 2048  # head shape class: K = hidden, M = V padded to 1024s
+    x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    w = rng.normal(size=(K, M)).astype(np.float32) * 0.03
+    qd = quantize_weight(w, bits=8)
+    out = quant_matmul_w4a8_pallas(
+        x, qd["q"], qd["s"], interpret=True, out_dtype=jnp.float32, bits=8
+    )
+    x8, sx = quantize_activations(x)
+    ref = (x8.astype(jnp.float32) * sx) @ dequantize(qd["q"], qd["s"], 8, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+    full = np.asarray(x) @ w
+    rel = np.linalg.norm(np.asarray(out) - full) / np.linalg.norm(full)
+    assert rel < 0.02, rel  # int8 weights + int8 activations: ~1% noise

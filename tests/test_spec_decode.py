@@ -318,3 +318,64 @@ def test_spec_seeded_generation_reproducible(tiny_model_dir):
     )
     assert solo[0]["token_ids"] == crowd[0]["token_ids"]
     assert crowd_llm.spec_metrics.summary()["num_drafts"] > 0
+
+
+def test_ngram_proposer_cycle_extends_full_k():
+    """A period-p loop must yield FULL-k drafts (cycle extension), not the
+    ~p-n truncated slice after the most recent match — SPEC_r04 measured
+    1.11-token drafts at 0.90 acceptance because of the truncation
+    (VERDICT r4 #3a)."""
+    p = NgramProposer(num_speculative_tokens=8, prompt_lookup_min=1, prompt_lookup_max=3)
+    tokens = [1, 2, 3] * 5  # period-3 loop
+    drafts = p.propose(tokens)
+    assert drafts == [1, 2, 3, 1, 2, 3, 1, 2]  # full k=8, cycle-extended
+    # period 1 (single-token loop): k copies
+    p2 = NgramProposer(num_speculative_tokens=4, prompt_lookup_min=1, prompt_lookup_max=3)
+    assert p2.propose([7, 7, 7, 7]) == [7, 7, 7, 7]
+
+
+def test_ngram_device_propose_matches_host():
+    """Device propose (ops/ngram.py) over a window covering the full history
+    must agree with the host proposer (same longest-n/most-recent/cycle-extend
+    semantics)."""
+    import random
+
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.ops.ngram import ngram_propose_device
+
+    rng = random.Random(0)
+    R, k = 32, 5
+    host = NgramProposer(num_speculative_tokens=k, prompt_lookup_min=1, prompt_lookup_max=3)
+    rows, lens, expects = [], [], []
+    for _ in range(40):
+        ln = rng.randint(3, R)
+        toks = [rng.randint(0, 6) for _ in range(ln)]  # tiny vocab: repeats
+        expects.append(host.propose(toks))
+        row = [-1] * (R - ln) + toks
+        rows.append(row)
+        lens.append(ln)
+    drafts, nd = ngram_propose_device(
+        jnp.asarray(rows, jnp.int32), jnp.asarray(lens, jnp.int32), 1, 3, k
+    )
+    drafts, nd = np.asarray(drafts), np.asarray(nd)
+    for i, exp in enumerate(expects):
+        if exp:
+            assert nd[i] == k
+            assert drafts[i].tolist() == exp, (i, drafts[i].tolist(), exp)
+        else:
+            assert nd[i] == 0
+
+
+def test_ngram_device_append_tokens():
+    import jax.numpy as jnp
+
+    from byox_vllm_tpu.ops.ngram import append_tokens_device
+
+    toks = jnp.asarray([[-1, -1, 1, 2], [5, 6, 7, 8]], jnp.int32)
+    lens = jnp.asarray([2, 4], jnp.int32)
+    new = jnp.asarray([[9, 0, 0], [3, 4, 0]], jnp.int32)
+    counts = jnp.asarray([1, 2], jnp.int32)
+    out, out_lens = append_tokens_device(toks, lens, new, counts)
+    assert np.asarray(out).tolist() == [[-1, 1, 2, 9], [7, 8, 3, 4]]
+    assert np.asarray(out_lens).tolist() == [3, 4]

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--model", default="0.6b")
+    ap.add_argument("--ckpt", default=None, help="real HF checkpoint dir (overrides --model geometry)")
+    ap.add_argument("--quant", default=None, help="None | int8 | int4 | w4a8 (north-star cfg 4: w4a8)")
+    ap.add_argument("--kv", default="auto", help="KV cache dtype: auto | int8")
     args = ap.parse_args()
 
     from bench import QWEN3_0_6B, QWEN3_8B
@@ -58,7 +61,19 @@ def main():
         max_num_batched_tokens=2048,
         max_num_seqs=max(args.seqs, 8),
         gpu_memory_utilization=0.6,
+        kv_cache_dtype=args.kv,
     )
+    if args.quant:
+        common["quantization"] = args.quant
+    if args.ckpt:
+        # trained weights + natural-text prompts (tools/real_ckpt_gate.py):
+        # acceptance on natural text is the serving-relevant number
+        common["model"] = args.ckpt
+        del common["hf_config"]
+        prompts = [
+            "The quick brown fox jumps over the lazy dog. " * 4
+            + "Repeat the previous sentence ten times:"
+        ] * args.seqs
 
     def run(spec_cfg):
         llm = LLM(**common, speculative_config=spec_cfg)

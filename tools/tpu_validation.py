@@ -43,6 +43,10 @@ for quant in ("int4", "w4a8"):
     # warm on a DIFFERENT prompt set: timing the warmup prompts again hits
     # fully-cached prefill shapes the warmup never compiled (r3 weak #5)
     llm.generate(warm, sp, use_tqdm=False)
+    # reset counters after warmup: the warm run's COMPILE time otherwise
+    # stays inside decode_wall_s and decode_ms_per_step reports ~35x reality
+    # (the self-contradicting TPU_VALIDATION_r04_w4a8.json — VERDICT r4 #7)
+    llm.metrics = type(llm.metrics)()
     t0 = time.time(); llm.generate(timed, sp, use_tqdm=False); dt = time.time() - t0
     m = llm.metrics.summary()
     out[quant] = {"tok_s": round(128 * 112 / dt, 1),
@@ -117,7 +121,7 @@ def main():
         elif step == "spec" and guard("spec"):
             results.append(run_step(
                 "spec", cmd=[sys.executable, "tools/spec_bench.py",
-                             "--out", "SPEC_r04.json"],
+                             "--out", "SPEC_r05.json"],
                 timeout=2400,
             ))
         elif step == "headroom" and guard("headroom"):
