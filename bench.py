@@ -199,21 +199,50 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
         t += rng.expovariate(rate)
         arrivals.append(t)
 
+    # tunnel RTT probe: dispatch+fetch of a tiny array ~= one host<->device
+    # round trip. Separates "the tail is the tunnel" from "the tail is a real
+    # queue" (VERDICT r4 #4 demanded the excuse be proven or retired).
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    rtts = []
+    for i_ in range(20):
+        t_ = time.perf_counter()
+        _np.asarray(jnp.full((8,), i_, jnp.int32))
+        rtts.append(time.perf_counter() - t_)
+    rtt_s = sorted(rtts)[len(rtts) // 2]
+
     llm.metrics = EngineMetrics()
+    depths = []  # waiting-queue depth observed at each arrival
+    step_s = []  # engine step wall times during the timed run
     t0 = time.perf_counter()
     i = 0
     while i < num_seqs or not llm.is_finished():
         now = time.perf_counter() - t0
         while i < num_seqs and arrivals[i] <= now:
+            depths.append(len(llm.scheduler.waiting))
             llm.add_request(prompts[i], sampling[i])
             i += 1
         if llm.is_finished():
             time.sleep(min(max(arrivals[i] - now, 0.0), 0.05))
             continue
+        ts = time.perf_counter()
         llm.step()
+        step_s.append(time.perf_counter() - ts)
     wall = time.perf_counter() - t0
     llm.scheduler.decode_lookahead = saved_k
     msum = llm.metrics.summary()
+    step_s.sort()
+    depths.sort()
+
+    def pct(xs, q):
+        return xs[min(len(xs) - 1, int(q * len(xs)))] if xs else None
+
+    # corrected TTFT: subtract the two mandatory host syncs on a request's
+    # path (in-flight window commit + prefill fetch) at the measured RTT —
+    # the part of TTFT the tunnel imposes regardless of engine design
+    corr = 2 * rtt_s
     return {
         "arrival_rate_rps": round(rate, 3),
         "arrival_capacity_tok_s": round(serve_capacity, 1),
@@ -224,6 +253,19 @@ def _run_arrival_phase(llm, tok_s_capacity: float, num_seqs: int, seed: int = 2)
         "arrival_ttft_p50_s": msum["ttft_p50_s"],
         "arrival_ttft_p99_s": msum["ttft_p99_s"],
         "arrival_latency_p50_s": msum["latency_p50_s"],
+        "tunnel_rtt_ms": round(rtt_s * 1e3, 1),
+        "arrival_ttft_p50_corrected_s": (
+            round(max(msum["ttft_p50_s"] - corr, 0.0), 4)
+            if msum["ttft_p50_s"] is not None else None
+        ),
+        "arrival_ttft_p99_corrected_s": (
+            round(max(msum["ttft_p99_s"] - corr, 0.0), 4)
+            if msum["ttft_p99_s"] is not None else None
+        ),
+        "arrival_queue_depth_max": depths[-1] if depths else 0,
+        "arrival_queue_depth_p90": pct(depths, 0.90),
+        "arrival_step_ms_p50": round(1e3 * pct(step_s, 0.50), 1) if step_s else None,
+        "arrival_step_ms_p99": round(1e3 * pct(step_s, 0.99), 1) if step_s else None,
     }
 
 

@@ -134,8 +134,21 @@ class LLMEngine:
         and for speculative decoding."""
         pipelining = self.config.async_decode and self.proposer is None
         if self._pending is not None and self.scheduler.waiting:
-            # a prefill is (likely) imminent: flush so its scheduling sees
-            # confirmed state and freed blocks
+            # a prefill is (likely) imminent. Overlap path: dispatch it
+            # BEHIND the in-flight decode window (the device runs window then
+            # prefill back to back) and fetch both with one sync — no drain
+            # stall, no flush round trip. Falls back to a plain flush when
+            # nothing is schedulable (e.g. no free blocks) or a proposer
+            # needs prefill observation hooks.
+            overlap_ok = self.config.overlap_prefill and (
+                self.proposer is None or not hasattr(self.proposer, "observe_prefill")
+            )
+            if overlap_ok:
+                seqs_p, is_p = self.scheduler.schedule()
+                if is_p and seqs_p:
+                    return self._overlap_prefill_step(seqs_p)
+                # a decode schedule drawn here is side-effect-safe to discard
+                # (may_append is idempotent); flush and reschedule fresh
             return self._commit_pending()
         seqs, is_prefill = self.scheduler.schedule()
         if pipelining and not is_prefill:
@@ -259,6 +272,35 @@ class LLMEngine:
         return self.scheduler.is_finished() and self._pending is None
 
     # -- async pipelined decode internals ----------------------------------
+
+    def _overlap_prefill_step(self, seqs_p) -> tuple[list, int]:
+        """Queue a prefill behind the in-flight decode window, then commit
+        the window and the prefill with one device drain each (the window
+        fetch overlaps the prefill executing on device)."""
+        for s in seqs_p:
+            if s.num_computed_tokens == s.num_cached_tokens and not s.prompt_counted:
+                s.prompt_counted = True
+                self.metrics.prompt_tokens += s.num_tokens
+                self.metrics.cached_prompt_tokens += s.num_cached_tokens
+        prefill_tokens = sum(s.scheduled_chunk for s in seqs_p)
+        t0 = time.perf_counter()
+        handle = self.model_runner.dispatch_prefill(seqs_p)
+        outputs, num_tokens = self._commit_pending()
+        tokens_p = self.model_runner.fetch_prefill(handle)
+        self.metrics.prefill_wall_s += time.perf_counter() - t0
+        self.scheduler.postprocess(seqs_p, tokens_p, is_prefill=True)
+        now = time.perf_counter()
+        for seq in seqs_p:
+            if seq.first_token_time is None and seq.num_completion_tokens > 0:
+                seq.first_token_time = now
+            if seq.is_finished and seq.finish_time is None:
+                seq.finish_time = now
+                self.metrics.record_request(seq)
+        self.metrics.prefill_tokens += prefill_tokens
+        outputs = outputs + [
+            (s.seq_id, s.completion_token_ids) for s in seqs_p if s.is_finished
+        ]
+        return outputs, num_tokens
 
     def _commit_pending(self) -> tuple[list, int]:
         pend, seqs, zombies = self._pending

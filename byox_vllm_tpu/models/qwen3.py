@@ -369,52 +369,29 @@ def decoder_layer(
             v_tail, v_flat[:, None].astype(v_tail.dtype), (0, tail_index, 0, 0)
         )
         new_kv_layer = (k_tail, v_tail)
-        kv_scales = kv_layer[2] if len(kv_layer) == 3 else None
         # pool holds exactly the pre-window tokens: context_lens counts
         # prefix + tail_index + 1 (the current token rides the tail)
-        from byox_vllm_tpu.ops.kv_cache import flat_view as _fv
-
-        _f = spec.num_kv_heads * spec.head_dim
         pool_ctx = context_lens - tail_index - 1
         o = decode_attention_with_tail(
-            q[:, 0], _fv(kv_layer[0], _f), _fv(kv_layer[1], _f), block_tables, pool_ctx,
+            q[:, 0], kv_layer[0], block_tables, pool_ctx,
             k_tail, v_tail, tail_index, block_size, scale,
-            kv_scales=kv_scales, backend=attention_backend,
+            backend=attention_backend,
             window=layer_window,
         )[:, None]
     else:
-        if len(kv_layer) == 3 and write_runs is not None:
-            # int8 prefill store on the block-DUS fast path
-            from byox_vllm_tpu.ops.kv_cache import write_kv_runs_quant
-
-            k_pool, v_pool, sc = write_kv_runs_quant(
-                *kv_layer, k_flat, v_flat,
-                write_runs[0], write_runs[1], block_size,
+        pool = kv_layer[0]  # merged [S, 2F(+256)] — see ops/kv_cache.py
+        if write_runs is not None:
+            pool = write_kv_runs(
+                pool, k_flat, v_flat, write_runs[0], write_runs[1], block_size
             )
-            new_kv_layer = (k_pool, v_pool, sc)
-            kv_scales = sc
-        elif len(kv_layer) == 3:  # int8 KV + unified [S, 128] scale pool
-            k_pool, v_pool, sc = write_kv_quant(*kv_layer, k_flat, v_flat, flat_slots)
-            new_kv_layer = (k_pool, v_pool, sc)
-            kv_scales = sc
-        elif write_runs is not None:
-            k_pool, v_pool = write_kv_runs(
-                kv_layer[0], kv_layer[1], k_flat, v_flat,
-                write_runs[0], write_runs[1], block_size,
-            )
-            new_kv_layer = (k_pool, v_pool)
-            kv_scales = None
+        elif pool.dtype == jnp.int8:
+            pool = write_kv_quant(pool, k_flat, v_flat, flat_slots)
         else:
-            k_pool, v_pool = write_kv(kv_layer[0], kv_layer[1], k_flat, v_flat, flat_slots)
-            new_kv_layer = (k_pool, v_pool)
-            kv_scales = None
-        from byox_vllm_tpu.ops.kv_cache import flat_view
-
-        f = spec.num_kv_heads * spec.head_dim
+            pool = write_kv(pool, k_flat, v_flat, flat_slots)
+        new_kv_layer = (pool,)
         o = attend(
-            q, flat_view(k_pool, f), flat_view(v_pool, f),
-            block_tables, context_lens, positions, block_size, scale,
-            kv_scales=kv_scales, window=layer_window,
+            q, pool, block_tables, context_lens, positions, block_size, scale,
+            window=layer_window,
         )
     o = o.reshape(b, tq, spec.q_size)
     attn_out = _linear(o, lp["wo"], spec.quant_bits, spec.act_bits)
@@ -558,46 +535,19 @@ def _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden):
 
 
 def make_kv_cache(spec: Qwen3Spec, num_slots: int, dtype=jnp.bfloat16, tp: int = 1) -> list:
-    """Per-layer KV pool pytree, token-major (see ops/kv_cache.py for why).
+    """Per-layer KV pool pytree: ONE merged token-major array per layer,
+    ``(pool,)`` with pool [num_slots, 2*F] (bf16) or [num_slots, 2*F + 256]
+    (int8: K | V | scale bytes) -- one page = one DMA, one decode store = one
+    scatter (ops/kv_cache.py module docstring).
 
-    Pools are stored ROW-TILED — [num_slots*8, nkv*hd/8], one token = one
-    (8, F/8) sublane window — whenever the per-shard row is a whole number
-    of (8, 128) tiles, so the decode store is an aligned DMA put
-    (ops/kv_cache.py::put_kv_rows; the XLA row scatter it replaces runs at
-    ~8 GB/s). Smaller geometries keep the flat [num_slots, nkv*hd] layout
-    and the scatter. Read paths take ``flat_view``; write paths dispatch on
-    the shape. dtype int8 selects the quantized cache: per-layer
-    (k, v, kv_scale) where kv_scale packs the per-(token, head) K and V
-    scales into one [num_slots, 128] bf16 row (always flat — a scale row is
-    a single sublane, below the put granule)."""
-    import os
-
-    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, can_row_tile
+    Under shard_map TP the GLOBAL pool row is shard-major -- tp blocks of
+    [K_s | V_s | scales_s] -- so the contiguous lane split P(None, 'model')
+    hands each shard a self-consistent local merged pool over its own
+    nkv/tp heads."""
+    from byox_vllm_tpu.ops.kv_cache import row_width
 
     f = spec.num_kv_heads * spec.head_dim
-    # Row-tiled is an EXPERIMENT, default off: the put kernel beats the
-    # scatter 12.6 vs 45 us in isolation, but inside the full step program
-    # the layout costs ~15 ms/step — XLA materializes pool copies around
-    # the bitcast views feeding the attention custom-calls (engine-measured
-    # 31 vs ~16 ms/step; the isolated-read probe was inconclusive). Fixing
-    # it needs the attention kernels to consume the tiled shape natively.
-    if can_row_tile(f // tp) and os.environ.get("BYOX_ROW_TILED_KV") == "1":
-        shape = (num_slots * 8, f // 8)
-    else:
-        shape = (num_slots, f)
-    if jnp.dtype(dtype) == jnp.int8:
-        # under shard_map TP the scale pool shards its lane dim too: the
-        # GLOBAL pool is tp x SCALE_LANES wide so each shard sees a local
-        # [S, SCALE_LANES] row in ITS OWN local head layout (the row-tiled
-        # KV pools shard the same way: shard-major lane blocks)
-        return [
-            (
-                jnp.zeros(shape, jnp.int8),
-                jnp.zeros(shape, jnp.int8),
-                jnp.zeros((num_slots, SCALE_LANES * tp), jnp.bfloat16),
-            )
-            for _ in range(spec.num_layers)
-        ]
-    return [
-        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(spec.num_layers)
-    ]
+    quantized = jnp.dtype(dtype) == jnp.int8
+    width = tp * row_width(f // tp, quantized)
+    pool_dtype = jnp.int8 if quantized else jnp.dtype(dtype)
+    return [(jnp.zeros((num_slots, width), pool_dtype),) for _ in range(spec.num_layers)]

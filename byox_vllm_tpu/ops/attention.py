@@ -1,16 +1,16 @@
-"""Paged causal attention over the KV block pool — XLA-native path.
+"""Paged causal attention over the merged KV block pool — XLA-native path.
 
 This is the dense fallback for the reference's flash-attn backends
 (nanovllm/layers/attention.py:67-97): one code path covers both varlen
 prefill (Tq = bucketed max new tokens) and paged decode (Tq = 1), because
 queries always attend to the *pool* (new K/V are scattered into it first).
 It is numerically exact and runs on any backend; the Pallas kernels in
-ops/paged_attention.py / ops/ragged_prefill.py replace it on TPU for
+ops/paged_attention.py / ops/prefill_attention.py replace it on TPU for
 performance.
 
 Shapes
+  pool         [S, 2*F(+256)]  merged token-major paged pool (ops/kv_cache.py)
   q            [B, Tq, nh, hd]
-  k/v pool     [S, nkv*hd]  (token-major flat paged pool)
   block_tables [B, W] int32, -1 padding
   context_lens [B]  total tokens (cached prefix + new)
   positions    [B, Tq] absolute position of each query token
@@ -25,16 +25,15 @@ no-op conventions.
 import jax
 import jax.numpy as jnp
 
-from byox_vllm_tpu.ops.kv_cache import gather_kv, gather_kv_quant
+from byox_vllm_tpu.ops.kv_cache import gather_kv
 
 _NEG_INF = -1e9
 _WARNED_HEAD_DIM = False
 
 
 def paged_attention(
-    q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
+    q, pool, block_tables, context_lens, positions, block_size, scale,
     backend: str = "auto",
-    kv_scales=None,  # unified [S, 128] bf16 scale pool when the KV pool is int8
     window: int | None = None,  # sliding-window attention (Mistral/Qwen2)
 ):
     """Backend dispatch: Pallas decode kernel on TPU for Tq == 1 (the
@@ -83,9 +82,9 @@ def paged_attention(
             kernel = None
         if kernel is not None:
             out = kernel(
-                q[:, 0], k_pool, v_pool, block_tables, context_lens,
+                q[:, 0], pool, block_tables, context_lens,
                 block_size=block_size, scale=scale, interpret=not on_tpu,
-                kv_scales=kv_scales, **kwargs,
+                **kwargs,
             )
             return out[:, None]
     if tq > 1 and use_pallas and tq % min(128, tq) == 0:
@@ -93,35 +92,33 @@ def paged_attention(
 
         q_lens = context_lens - positions[:, 0]
         return paged_prefill_attention(
-            q, k_pool, v_pool, block_tables, context_lens, q_lens,
+            q, pool, block_tables, context_lens, q_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
-            kv_scales=kv_scales, window=window,
+            window=window,
         )
     return paged_attention_dense(
-        q, k_pool, v_pool, block_tables, context_lens, positions, block_size, scale,
-        kv_scales=kv_scales, window=window,
+        q, pool, block_tables, context_lens, positions, block_size, scale,
+        window=window,
     )
 
 
 def decode_attention_with_tail(
     q,  # [B, nh, hd]
-    k_pool, v_pool, block_tables,
+    pool, block_tables,
     pool_ctx,  # [B] tokens resident in the pool (pre-window, EXCLUDES tail)
     k_tail, v_tail,  # [B, T, nkv, hd] float: the window's staged new K/V
     tail_index,  # scalar int32: current step t; tail positions 0..t attend
     block_size, scale,
-    kv_scales=None,
     backend: str = "auto",
     window: int | None = None,
 ):
     """Window-staged decode attention: paged attention over the (static)
     pool contents merged with attention over the window's staged tail rows
     via online-softmax stats. This lets the multi-step decode loop defer the
-    pool scatter to once per window (the per-step 3-scatters-per-layer cost
-    the ablation measured at ~3.2 ms/step at B=128 on 8B) — within a window
-    the pool is read-only and new K/V live in a small bf16 tail buffer
-    (which also means the window's freshest tokens attend at full precision
-    even when the pool is int8)."""
+    pool scatter to once per window — within a window the pool is read-only
+    and new K/V live in a small bf16 tail buffer (which also means the
+    window's freshest tokens attend at full precision even when the pool is
+    int8)."""
     b, nh, hd = q.shape
     _, t_max, nkv, _ = k_tail.shape
     group = nh // nkv
@@ -136,18 +133,18 @@ def decode_attention_with_tail(
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
 
             return paged_decode_attention_v3(
-                q, k_pool, v_pool, block_tables, pool_ctx,
+                q, pool, block_tables, pool_ctx,
                 block_size=block_size, scale=scale, interpret=not on_tpu,
-                kv_scales=kv_scales, k_tail=k_tail, v_tail=v_tail,
+                k_tail=k_tail, v_tail=v_tail,
                 tail_len=tail_index, seqs_per_step=4, window=window,
             )
         if window is None:
             from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
 
             return paged_decode_attention_v2(
-                q, k_pool, v_pool, block_tables, pool_ctx,
+                q, pool, block_tables, pool_ctx,
                 block_size=block_size, scale=scale, interpret=not on_tpu,
-                kv_scales=kv_scales, k_tail=k_tail, v_tail=v_tail,
+                k_tail=k_tail, v_tail=v_tail,
                 tail_len=tail_index,
             )
 
@@ -155,8 +152,8 @@ def decode_attention_with_tail(
     # pool_ctx + tail_index
     lo = None if window is None else pool_ctx + tail_index + 1 - window
     o_p, m_p, l_p = _paged_attention_ml(
-        q, k_pool, v_pool, block_tables, pool_ctx, block_size, scale,
-        kv_scales=kv_scales, backend=backend, lo=lo,
+        q, pool, block_tables, pool_ctx, block_size, scale,
+        backend=backend, lo=lo,
     )  # o normalized [B, nh, hd]; m/l [B, nh] f32
 
     qg = q.reshape(b, nkv, group, hd).astype(jnp.float32)
@@ -188,8 +185,8 @@ def decode_attention_with_tail(
 
 
 def _paged_attention_ml(
-    q, k_pool, v_pool, block_tables, context_lens, block_size, scale,
-    kv_scales=None, backend: str = "auto", lo=None,
+    q, pool, block_tables, context_lens, block_size, scale,
+    backend: str = "auto", lo=None,
 ):
     """Decode attention over the pool returning (normalized out [B, nh, hd],
     m [B, nh], l [B, nh]) online-softmax stats for external merging. Rows
@@ -201,25 +198,20 @@ def _paged_attention_ml(
         from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
 
         out, ml = paged_decode_attention_v2(
-            q, k_pool, v_pool, block_tables, context_lens,
+            q, pool, block_tables, context_lens,
             block_size=block_size, scale=scale, interpret=not on_tpu,
-            kv_scales=kv_scales, return_ml=True,
+            return_ml=True,
         )
         return out, ml[..., 0], ml[..., 1]
     # dense fallback (CPU/testing + head dims the kernel doesn't support)
     b, nh, hd = q.shape
-    nkv = k_pool.shape[1] // hd
+    k, v = gather_kv(pool, block_tables, block_size, hd, out_dtype=jnp.float32)
+    nkv = k.shape[2]
     group = nh // nkv
-    if kv_scales is not None:
-        k = gather_kv_quant(k_pool, kv_scales, 0, block_tables, block_size, hd, jnp.float32)
-        v = gather_kv_quant(v_pool, kv_scales, nkv, block_tables, block_size, hd, jnp.float32)
-    else:
-        k = gather_kv(k_pool, block_tables, block_size, hd)
-        v = gather_kv(v_pool, block_tables, block_size, hd)
     kk = k.shape[1]
     qg = q.reshape(b, nkv, group, hd).astype(jnp.float32)
     s = jnp.einsum(
-        "bkgd,bskd->bkgs", qg, k.astype(jnp.float32), preferred_element_type=jnp.float32
+        "bkgd,bskd->bkgs", qg, k, preferred_element_type=jnp.float32
     ) * scale
     key_pos = jnp.arange(kk, dtype=jnp.int32)[None, None, None, :]
     valid = key_pos < context_lens[:, None, None, None]
@@ -231,7 +223,7 @@ def _paged_attention_ml(
     p = jnp.where(valid, p, 0.0)  # exp(-inf - -inf) = nan on fully-masked rows
     l = jnp.sum(p, axis=-1)
     o = jnp.einsum(
-        "bkgs,bskd->bkgd", p, v.astype(jnp.float32), preferred_element_type=jnp.float32
+        "bkgs,bskd->bkgd", p, v, preferred_element_type=jnp.float32
     ) / jnp.maximum(l, 1e-20)[..., None]
     return (
         o.reshape(b, nh, hd).astype(q.dtype),
@@ -242,26 +234,18 @@ def _paged_attention_ml(
 
 def paged_attention_dense(
     q: jnp.ndarray,
-    k_pool: jnp.ndarray,
-    v_pool: jnp.ndarray,
+    pool: jnp.ndarray,
     block_tables: jnp.ndarray,
     context_lens: jnp.ndarray,
     positions: jnp.ndarray,
     block_size: int,
     scale: float,
-    kv_scales=None,
     window: int | None = None,
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
-    nkv = k_pool.shape[1] // hd
+    k, v = gather_kv(pool, block_tables, block_size, hd, out_dtype=q.dtype)
+    nkv = k.shape[2]
     group = nh // nkv
-
-    if kv_scales is not None:
-        k = gather_kv_quant(k_pool, kv_scales, 0, block_tables, block_size, hd, q.dtype)
-        v = gather_kv_quant(v_pool, kv_scales, nkv, block_tables, block_size, hd, q.dtype)
-    else:
-        k = gather_kv(k_pool, block_tables, block_size, hd)  # [B, K, nkv, hd]
-        v = gather_kv(v_pool, block_tables, block_size, hd)
     kk = k.shape[1]
 
     qg = q.reshape(b, tq, nkv, group, hd)

@@ -3,10 +3,13 @@
 The performance replacement for the reference's ``flash_attn_with_kvcache``
 paged decode path (nanovllm/layers/attention.py:88-96), designed for TPU:
 
-- the KV pool is token-major ``[num_slots, nkv*hd]`` (see ops/kv_cache.py);
-  a page view [block_size, nkv*hd] = e.g. (64, 1024) is a perfectly aligned
-  VMEM tile
-- grid (B, W): the scalar-prefetched block table drives the BlockSpec
+- the KV pool is MERGED token-major ``[num_slots, 2*F(+256)]`` (see
+  ops/kv_cache.py): K row | V row | scale bytes in one pool row, so a page
+  view [block_size, width] is a single aligned VMEM tile and each
+  (sequence, page) costs ONE DMA issue — the r4 ablation showed per-page
+  DMA-issue overhead (3 pools x 36 layers) dominating the bandwidth-bound
+  kernel (attention 4.9 ms vs ~3 ms traffic floor at B=128 on 8B)
+- grid (B, W) in v1: the scalar-prefetched block table drives the BlockSpec
   index_map, so the Pallas pipeline DMAs exactly the pages each sequence
   needs from HBM into VMEM (double-buffered by the runtime) — no gathered
   K/V copy is ever materialized in HBM, unlike the XLA-gather fallback;
@@ -20,7 +23,10 @@ paged decode path (nanovllm/layers/attention.py:88-96), designed for TPU:
   (the kernel is bandwidth-bound)
 - online softmax (flash-style m/l/acc running state in VMEM scratch,
   carried across the W page steps of each sequence)
-- INT8 pools dequantize in-kernel from per-(token, head) scale pages
+- INT8 pools dequantize in-kernel from the page's per-(token, head) scale
+  bytes (bf16 bits decoded with integer ops, ops/kv_cache.py::
+  decode_scale_bytes); scales fold into the [nh, span] score/prob matrices
+  instead of dequantizing [span, F] — 32x less scale work
 - padding conventions preserved: block id -1 => clamped DMA + fully masked;
   context_len 0 rows produce zeros (the reference no-ops padded rows the
   same way via cache_seqlens=0).
@@ -33,7 +39,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from byox_vllm_tpu.ops.kv_cache import decode_scale_bytes, pool_feature_dim
+
 _NEG_INF = -1e30
+
+
+def _split_page(tile, f, quantized, cdt):
+    """Merged page tile [span, width] -> (k [span, F] cdt, v [span, F] cdt,
+    sc [span, 128] cdt | None). Static lane slices; the bf16 scale bits
+    decode exactly (they were rounded to bf16 before quantizing)."""
+    k = tile[:, :f].astype(cdt)
+    v = tile[:, f : 2 * f].astype(cdt)
+    sc = None
+    if quantized:
+        sc = decode_scale_bytes(tile[:, 2 * f :]).astype(cdt)
+    return k, v, sc
 
 
 def _decode_kernel(
@@ -42,9 +62,12 @@ def _decode_kernel(
     context_lens_ref,  # [B] int32 (SMEM)
     # blocks
     q_ref,  # [1, nh, hd]
-    k_ref,  # [1, bs, nkv*hd]
-    v_ref,  # [1, bs, nkv*hd]
-    *rest,  # [ks_ref, vs_ref (1, bs, nkv) when int8], o_ref, scratch m/l/acc
+    pool_ref,  # [1, bs, width] merged page
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
     scale: float,
     block_size: int,
     num_kv_heads: int,
@@ -52,10 +75,6 @@ def _decode_kernel(
     head_dim: int,
     quantized: bool,
 ):
-    if quantized:
-        sc_ref, o_ref, m_ref, l_ref, acc_ref = rest
-    else:
-        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     w = pl.program_id(1)
     num_pages = pl.num_programs(1)
@@ -80,14 +99,12 @@ def _decode_kernel(
 
         # matmuls run in the query dtype: bf16 in production (f32 MXU
         # rate is ~1/8 with the M=nh dim already underutilizing the array),
-        # f32 when the caller wants exactness (tests). int8 scales fold into
-        # the [nh, bs] score/prob matrices instead of dequantizing [bs, F] —
-        # see _decode_kernel_v2 for the argument. The tiny [nh, nkv, hd]
-        # one-hot expansion stays f32 (Mosaic can't minor-dim-broadcast
-        # sub-32-bit types); operands cast to cdt at the matmul boundary.
+        # f32 when the caller wants exactness (tests). The tiny
+        # [nh, nkv, hd] one-hot expansion stays f32 (Mosaic can't
+        # minor-dim-broadcast sub-32-bit types); operands cast to cdt at the
+        # matmul boundary.
         cdt = jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
-        k = k_ref[0].astype(cdt)  # [bs, F]
-        v = v_ref[0].astype(cdt)
+        k, v, sc = _split_page(pool_ref[0], f, quantized, cdt)
 
         q = q_ref[0].astype(jnp.float32)  # [nh, hd]
         # scatter each query into its kv head's lane block: [nh, F]
@@ -102,7 +119,6 @@ def _decode_kernel(
             hof = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 0) // group
             oh_k = (lane == hof).astype(cdt)
             oh_v = (lane == hof + num_kv_heads).astype(cdt)
-            sc = sc_ref[0].astype(cdt)  # [bs, 128]
             ks_heads = jax.lax.dot_general(
                 oh_k, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )  # [nh, bs]
@@ -124,8 +140,11 @@ def _decode_kernel(
                 oh_v, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )  # [nh, bs]
             p = p * vs_heads
+        # zero past-context V rows (never written rows may hold garbage)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
+        v_ok = jnp.where(row < valid, v, 0.0)
         pv = jax.lax.dot_general(
-            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            p.astype(cdt), v_ok, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [nh, F]
         # select each head's own lane block back out: [nh, hd]
@@ -143,25 +162,23 @@ def _decode_kernel(
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, nh, hd]
-    k_pool: jnp.ndarray,  # [S, nkv*hd]
-    v_pool: jnp.ndarray,  # [S, nkv*hd]
+    pool: jnp.ndarray,  # [S, 2*F(+256)] merged
     block_tables: jnp.ndarray,  # [B, W] int32, -1 padding
     context_lens: jnp.ndarray,  # [B] int32
     *,
     block_size: int,
     scale: float,
     interpret: bool = False,
-    kv_scales=None,  # unified [S, 128] bf16 scale pool when the pool is int8
 ) -> jnp.ndarray:
     b, nh, hd = q.shape
-    s, f = k_pool.shape
+    s, width = pool.shape
+    quantized = pool.dtype == jnp.int8
+    f = pool_feature_dim(pool)
     nkv = f // hd
     w = block_tables.shape[1]
     group = nh // nkv
     num_blocks = s // block_size
-    kp = k_pool.reshape(num_blocks, block_size, f)
-    vp = v_pool.reshape(num_blocks, block_size, f)
-    quantized = kv_scales is not None
+    pp = pool.reshape(num_blocks, block_size, width)
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)  # clamp -1 (masked anyway)
 
     def page_index(i, j, bt, ctx):
@@ -171,20 +188,13 @@ def paged_decode_attention(
         last_valid = jnp.maximum((ctx[i] - 1) // block_size, 0)
         return (bt[i, jnp.minimum(j, last_valid)], 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
-        pl.BlockSpec((1, block_size, f), page_index),
-        pl.BlockSpec((1, block_size, f), page_index),
-    ]
-    operands = [q, kp, vp]
-    if quantized:
-        scale_lanes = kv_scales.shape[1]
-        in_specs += [pl.BlockSpec((1, block_size, scale_lanes), page_index)]
-        operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, w),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
+            pl.BlockSpec((1, block_size, width), page_index),
+        ],
         out_specs=pl.BlockSpec((1, nh, hd), lambda i, j, bt, ctx: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nh, 128), jnp.float32),
@@ -206,7 +216,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
         interpret=interpret,
-    )(tables, context_lens.astype(jnp.int32), *operands)
+    )(tables, context_lens.astype(jnp.int32), q, pp)
 
 
 # ---------------------------------------------------------------------------
@@ -230,9 +240,9 @@ def _decode_kernel_v2(
     # scalar prefetch
     block_tables_ref,  # [B, W] int32 (SMEM)
     context_lens_ref,  # [B] int32 (SMEM)
-    *rest,  # [tail_len_ref if has_tail], q_ref, k_hbm, v_hbm,
-    #         [sc_hbm if int8], [k_tail_ref, v_tail_ref if has_tail],
-    #         o_ref, [ml_ref], kbuf, vbuf, [scbuf], m/l/acc scratch, sems
+    *rest,  # [tail_len_ref if has_tail], q_ref, pool_hbm,
+    #         [k_tail_ref, v_tail_ref if has_tail],
+    #         o_ref, [ml_ref], buf, m/l/acc scratch, sems
     scale: float,
     block_size: int,
     num_kv_heads: int,
@@ -247,18 +257,12 @@ def _decode_kernel_v2(
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
     q_ref = rest.pop(0)
-    k_hbm = rest.pop(0)
-    v_hbm = rest.pop(0)
-    sc_hbm = rest.pop(0) if quantized else None
+    pool_hbm = rest.pop(0)
     k_tail_ref = rest.pop(0) if has_tail else None
     v_tail_ref = rest.pop(0) if has_tail else None
     o_ref = rest.pop(0)
     ml_ref = rest.pop(0) if return_ml else None
-    if quantized:
-        kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
-    else:
-        kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
-        scbuf = None
+    buf, m_ref, l_ref, acc_ref, sems = rest
     b = pl.program_id(0)
     c = pl.program_id(1)
     num_seqs = pl.num_programs(0)
@@ -272,28 +276,22 @@ def _decode_kernel_v2(
         ctx = context_lens_ref[i]
         return jnp.clip(pl.cdiv(ctx, block_size), 0, num_table_pages)
 
-    def page_copies(i, cc, slot, j):
-        """DMA descriptors for page j of chunk cc of sequence i into `slot`."""
+    def page_copy(i, cc, slot, j):
+        """DMA descriptor for page j of chunk cc of sequence i into `slot` —
+        ONE copy per page now that the pool row is merged."""
         page = block_tables_ref[i, cc * ppc + j]
-        pairs = [(k_hbm, kbuf), (v_hbm, vbuf)]
-        if quantized:
-            pairs += [(sc_hbm, scbuf)]
-        return [
-            pltpu.make_async_copy(
-                src.at[page],
-                dst.at[slot, pl.ds(j * block_size, block_size), :],
-                sems.at[slot, idx],
-            )
-            for idx, (src, dst) in enumerate(pairs)
-        ]
+        return pltpu.make_async_copy(
+            pool_hbm.at[page],
+            buf.at[slot, pl.ds(j * block_size, block_size), :],
+            sems.at[slot],
+        )
 
     def start_fetch(i, cc, slot):
         n_valid = valid_pages_of(i) - cc * ppc
         for j in range(ppc):
             @pl.when(j < n_valid)
             def _():
-                for cp in page_copies(i, cc, slot, j):
-                    cp.start()
+                page_copy(i, cc, slot, j).start()
 
     def wait_fetch(i, cc, slot):
         # rebuilding the same (src, dst, sem) triple waits the matching DMA
@@ -301,8 +299,7 @@ def _decode_kernel_v2(
         for j in range(ppc):
             @pl.when(j < n_valid)
             def _():
-                for cp in page_copies(i, cc, slot, j):
-                    cp.wait()
+                page_copy(i, cc, slot, j).wait()
 
     @pl.when((b == 0) & (c == 0))
     def _warmup():
@@ -334,7 +331,6 @@ def _decode_kernel_v2(
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (nh, num_kv_heads), 1)
     onehot = (head_of == kv_idx).astype(jnp.float32)
     cdt = jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
-    oh = onehot.astype(cdt)  # 2D matmul operand
 
     @pl.when(local_ctx > 0)
     def _chunk():
@@ -346,8 +342,7 @@ def _decode_kernel_v2(
         # lanes (qe is zero elsewhere, and the output select keeps only
         # g(h)'s lanes), so the per-(token, head) scales fold into the
         # [nh, span] score/prob matrices instead — 32x less scale work.
-        k = kbuf[slot].astype(cdt)  # [span, F]
-        v = vbuf[slot].astype(cdt)
+        k, v, sc = _split_page(buf[slot], f, quantized, cdt)
         # rows past the context were never fetched: uninitialized VMEM may
         # hold NaN bits, and 0 * NaN = NaN through the PV matmul — zero V
         # (K's garbage only lands in score entries the col-mask overwrites)
@@ -368,7 +363,6 @@ def _decode_kernel_v2(
             hof = jax.lax.broadcasted_iota(jnp.int32, (nh, 128), 0) // group
             oh_k = (lane == hof).astype(cdt)
             oh_v = (lane == hof + num_kv_heads).astype(cdt)
-            sc = scbuf[slot].astype(cdt)  # [span, 128]
             ks_heads = jax.lax.dot_general(
                 oh_k, sc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )  # [nh, span]
@@ -456,15 +450,13 @@ def _decode_kernel_v2(
 )
 def paged_decode_attention_v2(
     q: jnp.ndarray,  # [B, nh, hd]
-    k_pool: jnp.ndarray,  # [S, nkv*hd]
-    v_pool: jnp.ndarray,  # [S, nkv*hd]
+    pool: jnp.ndarray,  # [S, 2*F(+256)] merged
     block_tables: jnp.ndarray,  # [B, W] int32, -1 padding
     context_lens: jnp.ndarray,  # [B] int32
     *,
     block_size: int,
     scale: float,
     interpret: bool = False,
-    kv_scales=None,
     max_pages_per_chunk: int | None = None,  # test hook / tuning knob
     return_ml: bool = False,  # also return [B, nh, 128] f32 (lane0=m, lane1=l)
     k_tail=None,  # [B, T, nkv, hd] float: window-staged new K/V rows
@@ -472,20 +464,20 @@ def paged_decode_attention_v2(
     tail_len=None,  # scalar int32: tail rows 0..tail_len attend
 ):
     b, nh, hd = q.shape
-    s, f = k_pool.shape
+    s, width = pool.shape
+    quantized = pool.dtype == jnp.int8
+    f = pool_feature_dim(pool)
     nkv = f // hd
     w = block_tables.shape[1]
     group = nh // nkv
     num_blocks = s // block_size
-    kp = k_pool.reshape(num_blocks, block_size, f)
-    vp = v_pool.reshape(num_blocks, block_size, f)
-    quantized = kv_scales is not None
+    pp_pages = pool.reshape(num_blocks, block_size, width)
     has_tail = k_tail is not None
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
-    # chunk size: stay within ~4 MiB of double-buffered K+V VMEM
+    # chunk size: stay within ~4 MiB of double-buffered merged-page VMEM
     budget = 4 * 1024 * 1024
-    bytes_per_page = block_size * f * k_pool.dtype.itemsize * 2 * 2  # K+V, 2 slots
+    bytes_per_page = block_size * width * pool.dtype.itemsize * 2  # 2 slots
     ppc = max(1, min(w, budget // max(bytes_per_page, 1)))
     if max_pages_per_chunk is not None:
         ppc = max(1, min(ppc, max_pages_per_chunk))
@@ -501,18 +493,9 @@ def paged_decode_attention_v2(
     in_specs = [
         pl.BlockSpec((1, nh, hd), _idx(lambda i, c: (i, 0, 0))),
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
-    operands = [q, kp, vp]
-    scratch = [
-        pltpu.VMEM((2, span, f), k_pool.dtype),
-        pltpu.VMEM((2, span, f), v_pool.dtype),
-    ]
-    if quantized:
-        scale_lanes = kv_scales.shape[1]
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
-        operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
-        scratch += [pltpu.VMEM((2, span, scale_lanes), kv_scales.dtype)]
+    operands = [q, pp_pages]
+    scratch = [pltpu.VMEM((2, span, width), pool.dtype)]
     if has_tail:
         t_max = k_tail.shape[1]
         in_specs += [
@@ -524,7 +507,7 @@ def paged_decode_attention_v2(
         pltpu.VMEM((nh, 128), jnp.float32),  # m
         pltpu.VMEM((nh, 128), jnp.float32),  # l
         pltpu.VMEM((nh, hd), jnp.float32),  # acc
-        pltpu.SemaphoreType.DMA((2, 3 if quantized else 2)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
 
     out_specs = pl.BlockSpec((1, nh, hd), _idx(lambda i, c: (i, 0, 0)))
@@ -586,9 +569,8 @@ def _decode_kernel_v3(
     block_tables_ref,  # [B, W] int32 (SMEM)
     context_lens_ref,  # [B] int32 (SMEM)
     *rest,  # [tail_len_ref if has_tail],
-    #         q_ref, k_hbm, v_hbm, [sc_hbm if int8],
-    #         [k_tail_ref, v_tail_ref if has_tail],
-    #         o_ref, kbuf, vbuf, [scbuf], m/l/acc scratch, sems
+    #         q_ref, pool_hbm, [k_tail_ref, v_tail_ref if has_tail],
+    #         o_ref, buf, m/l/acc scratch, sems
     scale: float,
     block_size: int,
     num_kv_heads: int,
@@ -604,17 +586,11 @@ def _decode_kernel_v3(
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
     q_ref = rest.pop(0)  # [SB, nh, hd]
-    k_hbm = rest.pop(0)
-    v_hbm = rest.pop(0)
-    sc_hbm = rest.pop(0) if quantized else None
+    pool_hbm = rest.pop(0)
     k_tail_ref = rest.pop(0) if has_tail else None  # [SB, T, F]
     v_tail_ref = rest.pop(0) if has_tail else None
     o_ref = rest.pop(0)  # [SB, nh, hd]
-    if quantized:
-        kbuf, vbuf, scbuf, m_ref, l_ref, acc_ref, sems = rest
-    else:
-        kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
-        scbuf = None
+    buf, m_ref, l_ref, acc_ref, sems = rest
     gi = pl.program_id(0)
     c = pl.program_id(1)
     num_groups = pl.num_programs(0)
@@ -639,20 +615,14 @@ def _decode_kernel_v3(
         qend = context_lens_ref[i] + tail_off()
         return jnp.maximum(qend - window, 0) // block_size
 
-    def page_copies(gi_, cc, slot, s_i, j):
+    def page_copy(gi_, cc, slot, s_i, j):
         i = gi_ * sb + s_i
         page = block_tables_ref[i, cc * ppc + j]
-        pairs = [(k_hbm, kbuf), (v_hbm, vbuf)]
-        if quantized:
-            pairs += [(sc_hbm, scbuf)]
-        return [
-            pltpu.make_async_copy(
-                src.at[page],
-                dst.at[slot, pl.ds(s_i * span + j * block_size, block_size), :],
-                sems.at[slot, idx],
-            )
-            for idx, (src, dst) in enumerate(pairs)
-        ]
+        return pltpu.make_async_copy(
+            pool_hbm.at[page],
+            buf.at[slot, pl.ds(s_i * span + j * block_size, block_size), :],
+            sems.at[slot],
+        )
 
     def fetch_gate(gi_, cc, s_i, j):
         n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
@@ -666,16 +636,14 @@ def _decode_kernel_v3(
             for j in range(ppc):
                 @pl.when(fetch_gate(gi_, cc, s_i, j))
                 def _():
-                    for cp in page_copies(gi_, cc, slot, s_i, j):
-                        cp.start()
+                    page_copy(gi_, cc, slot, s_i, j).start()
 
     def wait_fetch(gi_, cc, slot):
         for s_i in range(sb):
             for j in range(ppc):
                 @pl.when(fetch_gate(gi_, cc, s_i, j))
                 def _():
-                    for cp in page_copies(gi_, cc, slot, s_i, j):
-                        cp.wait()
+                    page_copy(gi_, cc, slot, s_i, j).wait()
 
     @pl.when((gi == 0) & (c == 0))
     def _warmup():
@@ -745,8 +713,7 @@ def _decode_kernel_v3(
         @pl.when(local[s_i] > 0)
         def _chunk(s_i=s_i):
             rows = slice(s_i * span, (s_i + 1) * span)
-            k = kbuf[slot, rows, :].astype(cdt)  # [span, F]
-            v = vbuf[slot, rows, :].astype(cdt)
+            k, v, sc = _split_page(buf[slot, rows, :], f, quantized, cdt)
             # zero unfetched V rows (NaN x 0 = NaN through the PV matmul)
             vrow = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
             v_ok = vrow < local[s_i]
@@ -766,7 +733,6 @@ def _decode_kernel_v3(
                 valid &= col >= local[s_i] + tail_off() - window
             vs_heads = None
             if quantized:
-                sc = scbuf[slot, rows, :].astype(cdt)  # [span, 128]
                 ks_heads = jax.lax.dot_general(
                     oh_k, sc, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -822,8 +788,8 @@ def _decode_kernel_v3(
 
 
 def paged_decode_attention_v3(
-    q, k_pool, v_pool, block_tables, context_lens, *,
-    block_size, scale, interpret=False, kv_scales=None,
+    q, pool, block_tables, context_lens, *,
+    block_size, scale, interpret=False,
     max_pages_per_chunk=None, seqs_per_step=4, k_tail=None, v_tail=None,
     tail_len=None, window=None, attn_vmem_mb=None,
 ):
@@ -836,9 +802,9 @@ def paged_decode_attention_v3(
     if attn_vmem_mb is None:
         attn_vmem_mb = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "4"))
     return _paged_decode_attention_v3(
-        q, k_pool, v_pool, block_tables, context_lens,
+        q, pool, block_tables, context_lens,
         block_size=block_size, scale=scale, interpret=interpret,
-        kv_scales=kv_scales, max_pages_per_chunk=max_pages_per_chunk,
+        max_pages_per_chunk=max_pages_per_chunk,
         seqs_per_step=seqs_per_step, k_tail=k_tail, v_tail=v_tail,
         tail_len=tail_len, window=window, attn_vmem_mb=attn_vmem_mb,
     )
@@ -853,15 +819,13 @@ def paged_decode_attention_v3(
 )
 def _paged_decode_attention_v3(
     q: jnp.ndarray,  # [B, nh, hd]
-    k_pool: jnp.ndarray,  # [S, nkv*hd]
-    v_pool: jnp.ndarray,  # [S, nkv*hd]
+    pool: jnp.ndarray,  # [S, 2*F(+256)] merged
     block_tables: jnp.ndarray,  # [B, W] int32, -1 padding
     context_lens: jnp.ndarray,  # [B] int32
     *,
     block_size: int,
     scale: float,
     interpret: bool = False,
-    kv_scales=None,
     max_pages_per_chunk: int | None = None,
     seqs_per_step: int = 4,
     k_tail=None,  # [B, T, nkv, hd] float: window-staged new K/V rows
@@ -871,24 +835,24 @@ def _paged_decode_attention_v3(
     attn_vmem_mb: int = 4,
 ):
     b, nh, hd = q.shape
-    s, f = k_pool.shape
+    s, width = pool.shape
+    quantized = pool.dtype == jnp.int8
+    f = pool_feature_dim(pool)
     nkv = f // hd
     w = block_tables.shape[1]
     group = nh // nkv
     num_blocks = s // block_size
-    kp = k_pool.reshape(num_blocks, block_size, f)
-    vp = v_pool.reshape(num_blocks, block_size, f)
-    quantized = kv_scales is not None
+    pp_pages = pool.reshape(num_blocks, block_size, width)
     has_tail = k_tail is not None
     sb = seqs_per_step
     assert b % sb == 0, (b, sb)
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
-    # chunk size: stay within a VMEM budget of double-buffered K+V per seq
-    # set. Tunable: larger sb needs a larger budget to keep one chunk
+    # chunk size: stay within a VMEM budget of double-buffered merged pages
+    # per seq set. Tunable: larger sb needs a larger budget to keep one chunk
     # (sb=8 at 4 MiB split into 2 chunks and LOST — ablate_sb8 r4)
     budget = attn_vmem_mb * 1024 * 1024
-    bytes_per_page = block_size * f * k_pool.dtype.itemsize * 2 * 2 * sb
+    bytes_per_page = block_size * width * pool.dtype.itemsize * 2 * sb  # 2 slots
     ppc = max(1, min(w, budget // max(bytes_per_page, 1)))
     if max_pages_per_chunk is not None:
         ppc = max(1, min(ppc, max_pages_per_chunk))
@@ -906,18 +870,9 @@ def _paged_decode_attention_v3(
     in_specs = [
         pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0))),
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
-    operands = [q, kp, vp]
-    scratch = [
-        pltpu.VMEM((2, sb * span, f), k_pool.dtype),
-        pltpu.VMEM((2, sb * span, f), v_pool.dtype),
-    ]
-    if quantized:
-        scale_lanes = kv_scales.shape[1]
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
-        operands += [kv_scales.reshape(num_blocks, block_size, scale_lanes)]
-        scratch += [pltpu.VMEM((2, sb * span, scale_lanes), kv_scales.dtype)]
+    operands = [q, pp_pages]
+    scratch = [pltpu.VMEM((2, sb * span, width), pool.dtype)]
     if has_tail:
         t_max = k_tail.shape[1]
         in_specs += [
@@ -925,14 +880,13 @@ def _paged_decode_attention_v3(
             pl.BlockSpec((sb, t_max, f), _idx(lambda i, c: (i, 0, 0))),
         ]
         operands += [k_tail.reshape(b, t_max, f), v_tail.reshape(b, t_max, f)]
-    nbuf = 3 if quantized else 2
     out_specs = pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0)))
     out_shape = jax.ShapeDtypeStruct((b, nh, hd), q.dtype)
     scratch += [
         pltpu.VMEM((sb * nh, 128), jnp.float32),  # m
         pltpu.VMEM((sb * nh, 128), jnp.float32),  # l
         pltpu.VMEM((sb * nh, hd), jnp.float32),  # acc
-        pltpu.SemaphoreType.DMA((2, nbuf)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
 
     prefetch = [tables, context_lens.astype(jnp.int32)]

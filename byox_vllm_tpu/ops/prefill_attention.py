@@ -1,4 +1,4 @@
-"""Pallas prefill (varlen/causal) attention over the paged KV pool (TPU).
+"""Pallas prefill (varlen/causal) attention over the merged paged KV pool.
 
 The performance replacement for the reference's ``flash_attn_varlen_func``
 prefill path (nanovllm/layers/attention.py:72-86), on the padded [B, Tq]
@@ -7,6 +7,8 @@ layout this engine uses:
 - queries attend the *pool* (new K/V are stored first), so one kernel covers
   plain prefill, prefix-cache-hit prefill (cached pages are just earlier
   pages of the same sequence), and speculative-verify windows
+- the pool is MERGED token-major [S, 2*F(+256)] (ops/kv_cache.py): one page
+  = ONE BlockSpec operand = one DMA covering K, V, and the int8 scale bytes
 - grid (B, num_q_tiles, W): flash-style online softmax with m/l/acc in VMEM
   scratch carried across the page dimension (innermost); the
   scalar-prefetched block table drives page DMAs
@@ -29,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from byox_vllm_tpu.ops.kv_cache import decode_scale_bytes, pool_feature_dim
+
 _NEG_INF = -1e30
 
 
@@ -39,9 +43,12 @@ def _prefill_kernel(
     q_lens_ref,  # [B] int32 (SMEM)
     # blocks
     q_ref,  # [1, TQ, nh, hd]
-    k_ref,  # [1, bs, nkv*hd]
-    v_ref,  # [1, bs, nkv*hd]
-    *rest,  # [sc_ref (1, bs, 128) when int8], o_ref, scratch m/l/acc
+    pool_ref,  # [1, bs, width] merged page
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
     scale: float,
     block_size: int,
     num_kv_heads: int,
@@ -51,16 +58,12 @@ def _prefill_kernel(
     quantized: bool,
     window: int | None = None,  # sliding-window attention band
 ):
-    if quantized:
-        sc_ref, o_ref, m_ref, l_ref, acc_ref = rest
-    else:
-        o_ref, m_ref, l_ref, acc_ref = rest
-        sc_ref = None
     b = pl.program_id(0)
     t = pl.program_id(1)
     w = pl.program_id(2)
     num_pages = pl.num_programs(2)
     nh = num_kv_heads * group
+    f = num_kv_heads * head_dim
 
     @pl.when(w == 0)
     def _init():
@@ -95,16 +98,20 @@ def _prefill_kernel(
         if window is not None:  # band: keys within [q_pos - W + 1, q_pos]
             mask &= key_pos > q_pos - window
 
-        sc = sc_ref[0].astype(jnp.float32) if quantized else None  # [bs, 128]
+        tile = pool_ref[0]  # [bs, width]
+        sc = (
+            decode_scale_bytes(tile[:, 2 * f :]) if quantized else None
+        )  # [bs, 128] f32
         for h in range(nh):
             kv_h = h // group
             lanes = slice(kv_h * head_dim, (kv_h + 1) * head_dim)
+            v_lanes = slice(f + kv_h * head_dim, f + (kv_h + 1) * head_dim)
             q = q_ref[0, :, h, :].astype(jnp.float32)  # [TQ, hd]
-            k = k_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
-            v = v_ref[0, :, lanes].astype(jnp.float32)  # [bs, hd]
+            k = tile[:, lanes].astype(jnp.float32)  # [bs, hd]
+            v = tile[:, v_lanes].astype(jnp.float32)  # [bs, hd]
             if quantized:
                 # per-(token, head) scales: lane g = K, lane nkv+g = V of the
-                # unified scale row (ops/kv_cache.py); prefill is compute-
+                # decoded scale row (ops/kv_cache.py); prefill is compute-
                 # bound so two [bs, hd] multiplies per head are immaterial
                 k = k * sc[:, kv_h : kv_h + 1]
                 v = v * sc[:, num_kv_heads + kv_h : num_kv_heads + kv_h + 1]
@@ -137,8 +144,7 @@ def _prefill_kernel(
 )
 def paged_prefill_attention(
     q: jnp.ndarray,  # [B, Tq, nh, hd]
-    k_pool: jnp.ndarray,  # [S, nkv*hd]
-    v_pool: jnp.ndarray,  # [S, nkv*hd]
+    pool: jnp.ndarray,  # [S, 2*F(+256)] merged
     block_tables: jnp.ndarray,  # [B, W] int32, -1 padding
     context_lens: jnp.ndarray,  # [B] int32
     q_lens: jnp.ndarray,  # [B] int32
@@ -146,11 +152,12 @@ def paged_prefill_attention(
     block_size: int,
     scale: float,
     interpret: bool = False,
-    kv_scales=None,  # unified [S, 128] bf16 scale pool when the pool is int8
     window: int | None = None,  # sliding-window attention (band + DMA skip)
 ) -> jnp.ndarray:
     b, tq, nh, hd = q.shape
-    s, f = k_pool.shape
+    s, width = pool.shape
+    quantized = pool.dtype == jnp.int8
+    f = pool_feature_dim(pool)
     nkv = f // hd
     w = block_tables.shape[1]
     group = nh // nkv
@@ -158,9 +165,7 @@ def paged_prefill_attention(
     q_tile = min(128, tq)
     assert tq % q_tile == 0
     num_q_tiles = tq // q_tile
-    kp = k_pool.reshape(num_blocks, block_size, f)
-    vp = v_pool.reshape(num_blocks, block_size, f)
-    quantized = kv_scales is not None
+    pp = pool.reshape(num_blocks, block_size, width)
     tables = jnp.maximum(block_tables, 0).astype(jnp.int32)
 
     def page_index(i, t, j, bt, ctx, ql):
@@ -176,20 +181,13 @@ def paged_prefill_attention(
             jj = jnp.maximum(jj, jnp.minimum(first_useful, last_useful))
         return (bt[i, jnp.clip(jj, 0, None)], 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
-        pl.BlockSpec((1, block_size, f), page_index),
-        pl.BlockSpec((1, block_size, f), page_index),
-    ]
-    operands = [q, kp, vp]
-    if quantized:
-        scale_lanes = kv_scales.shape[1]
-        in_specs.append(pl.BlockSpec((1, block_size, scale_lanes), page_index))
-        operands.append(kv_scales.reshape(num_blocks, block_size, scale_lanes))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, num_q_tiles, w),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
+            pl.BlockSpec((1, block_size, width), page_index),
+        ],
         out_specs=pl.BlockSpec((1, q_tile, nh, hd), lambda i, t, j, bt, ctx, ql: (i, t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nh, q_tile, 128), jnp.float32),
@@ -217,5 +215,6 @@ def paged_prefill_attention(
         tables,
         context_lens.astype(jnp.int32),
         q_lens.astype(jnp.int32),
-        *operands,
+        q,
+        pp,
     )

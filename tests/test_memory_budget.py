@@ -39,7 +39,7 @@ def test_8b_int4_kvint8_fits_16gb_at_256_seqs():
 
     from byox_vllm_tpu.config import Config
     from byox_vllm_tpu.engine.model_runner import estimate_activation_bytes
-    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+    from byox_vllm_tpu.ops.kv_cache import row_width
 
     spec = replace(_spec_8b(), quant_bits=4, head_bits=8)
     config = Config(
@@ -62,7 +62,7 @@ def test_8b_int4_kvint8_fits_16gb_at_256_seqs():
 
     hbm = 16 * 1024**3
     budget = int(hbm * config.gpu_memory_utilization) - weights - act
-    per_token = spec.num_layers * (2 * spec.num_kv_heads * spec.head_dim + 2 * SCALE_LANES)
+    per_token = spec.num_layers * row_width(spec.num_kv_heads * spec.head_dim, True)
     blocks = budget // (per_token * config.kvcache_block_size)
     # a useful pool: at least 64 tokens of KV per sequence at 256 seqs
     assert blocks * config.kvcache_block_size >= 256 * 64, (weights, act, blocks)

@@ -1,5 +1,5 @@
 """Unit tests for device ops: KV pool scatter/gather, paged attention masking,
-sampler semantics. Pool layout is head-major [nkv, num_slots, head_dim]."""
+sampler semantics. Pools use the merged token-major layout (ops/kv_cache.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -11,25 +11,26 @@ from byox_vllm_tpu.ops.sampler import sample_tokens
 
 
 def test_write_kv_drops_padding_slots():
-    k_pool = jnp.zeros((8, 2 * 4))  # [S, nkv*hd]
-    v_pool = jnp.zeros((8, 2 * 4))
+    pool = jnp.zeros((8, 2 * 2 * 4))  # merged [S, 2*nkv*hd]
     k_new = jnp.ones((3, 2, 4))  # [N, nkv, hd]
     v_new = 2 * jnp.ones((3, 2, 4))
     slots = jnp.array([1, -1, 5], dtype=jnp.int32)
-    k_pool, v_pool = write_kv(k_pool, v_pool, k_new, v_new, slots)
-    assert np.asarray(k_pool[1]).sum() == 8
-    assert np.asarray(k_pool[5]).sum() == 8
-    assert np.asarray(k_pool).sum() == 16  # nothing else written (slot -1 dropped)
-    assert np.asarray(v_pool).sum() == 32
+    pool = write_kv(pool, k_new, v_new, slots)
+    assert np.asarray(pool[1, :8]).sum() == 8  # K half
+    assert np.asarray(pool[5, :8]).sum() == 8
+    assert np.asarray(pool[1, 8:]).sum() == 16  # V half
+    assert np.asarray(pool).sum() == 48  # nothing else written (slot -1 dropped)
 
 
 def test_gather_kv_padding_blocks_zero():
-    pool = jnp.arange(8 * 2 * 4, dtype=jnp.float32).reshape(8, 2 * 4) + 1.0
+    pool = jnp.arange(8 * 2 * 2 * 4, dtype=jnp.float32).reshape(8, 2 * 2 * 4) + 1.0
     tables = jnp.array([[1, -1]], dtype=jnp.int32)
-    out = gather_kv(pool, tables, block_size=2, head_dim=4)  # [1, 4, 2, 4]
-    np.testing.assert_array_equal(np.asarray(out[0, 0]).ravel(), np.asarray(pool[2]))
-    np.testing.assert_array_equal(np.asarray(out[0, 1]).ravel(), np.asarray(pool[3]))
-    assert np.asarray(out[0, 2:]).sum() == 0  # padded block gathers zeros
+    out_k, out_v = gather_kv(pool, tables, block_size=2, head_dim=4)  # [1, 4, 2, 4]
+    np.testing.assert_array_equal(np.asarray(out_k[0, 0]).ravel(), np.asarray(pool[2, :8]))
+    np.testing.assert_array_equal(np.asarray(out_k[0, 1]).ravel(), np.asarray(pool[3, :8]))
+    np.testing.assert_array_equal(np.asarray(out_v[0, 0]).ravel(), np.asarray(pool[2, 8:]))
+    assert np.asarray(out_k[0, 2:]).sum() == 0  # padded block gathers zeros
+    assert np.asarray(out_v[0, 2:]).sum() == 0
 
 
 def test_paged_attention_matches_naive():
@@ -41,15 +42,14 @@ def test_paged_attention_matches_naive():
     v = jnp.asarray(rng.normal(size=(B, T, nkv, hd)), jnp.float32)
 
     # write k/v into pool blocks 3 and 1 (out of order on purpose)
-    pool_k = jnp.zeros((8 * bs, nkv * hd), jnp.float32)
-    pool_v = jnp.zeros((8 * bs, nkv * hd), jnp.float32)
+    pool = jnp.zeros((8 * bs, 2 * nkv * hd), jnp.float32)
     table = jnp.array([[3, 1]], dtype=jnp.int32)
     slots = jnp.array([3 * bs + 0, 3 * bs + 1, 3 * bs + 2, 3 * bs + 3, 1 * bs + 0, 1 * bs + 1], jnp.int32)
-    pool_k, pool_v = write_kv(pool_k, pool_v, k[0], v[0], slots)
+    pool = write_kv(pool, k[0], v[0], slots)
 
     positions = jnp.arange(T, dtype=jnp.int32)[None, :]
     ctx = jnp.array([T], jnp.int32)
-    out = paged_attention_dense(q, pool_k, pool_v, table, ctx, positions, bs, hd**-0.5)
+    out = paged_attention_dense(q, pool, table, ctx, positions, bs, hd**-0.5)
 
     # naive reference
     qg = np.asarray(q).reshape(B, T, nkv, nh // nkv, hd)

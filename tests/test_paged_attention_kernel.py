@@ -1,20 +1,20 @@
 """Pallas paged decode kernel vs the dense XLA fallback (interpret mode on
-CPU; the compiled path runs on real TPU via bench/driver)."""
+CPU; the compiled path runs on real TPU via bench/driver). Pools use the
+MERGED layout (ops/kv_cache.py): one array holds K | V (| scale bytes)."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from byox_vllm_tpu.ops.attention import paged_attention_dense
-from byox_vllm_tpu.ops.kv_cache import write_kv
+from byox_vllm_tpu.ops.kv_cache import row_width, write_kv, write_kv_quant
 from byox_vllm_tpu.ops.paged_attention import paged_decode_attention
 
 
 def make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens):
     num_slots = 8 * bs * max(1, b)
     q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
-    k_pool = jnp.zeros((num_slots, nkv * hd), jnp.float32)
-    v_pool = jnp.zeros((num_slots, nkv * hd), jnp.float32)
+    pool = jnp.zeros((num_slots, row_width(nkv * hd, False)), jnp.float32)
     tables = np.full((b, w), -1, np.int32)
     next_block = 0
     for i, ctx in enumerate(ctx_lens):
@@ -29,8 +29,8 @@ def make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens):
         if slots:
             kv_rows = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
             vv_rows = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
-            k_pool, v_pool = write_kv(k_pool, v_pool, kv_rows, vv_rows, jnp.asarray(slots, jnp.int32))
-    return q, k_pool, v_pool, jnp.asarray(tables), jnp.asarray(ctx_lens, jnp.int32)
+            pool = write_kv(pool, kv_rows, vv_rows, jnp.asarray(slots, jnp.int32))
+    return q, pool, jnp.asarray(tables), jnp.asarray(ctx_lens, jnp.int32)
 
 
 @pytest.mark.parametrize(
@@ -45,13 +45,13 @@ def test_kernel_matches_dense(ctx_lens):
     rng = np.random.default_rng(0)
     b, nh, nkv, hd, bs = len(ctx_lens), 8, 4, 128, 16
     w = 4
-    q, kp, vp, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
     scale = hd**-0.5
     positions = (ctx - 1)[:, None]
 
-    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale)
+    ref = paged_attention_dense(q, pool, tables, ctx, positions, bs, scale)
     out = paged_decode_attention(
-        q[:, 0], kp, vp, tables, ctx, block_size=bs, scale=scale, interpret=True
+        q[:, 0], pool, tables, ctx, block_size=bs, scale=scale, interpret=True
     )
     # padding rows (ctx 0): kernel returns zeros; dense returns garbage-masked
     # uniform average — compare only valid rows
@@ -65,11 +65,11 @@ def test_kernel_matches_dense(ctx_lens):
 def test_kernel_gqa_group1():
     """nh == nkv (no grouping) still works."""
     rng = np.random.default_rng(1)
-    q, kp, vp, tables, ctx = make_case(rng, 2, 4, 4, 128, 16, 2, [20, 31])
+    q, pool, tables, ctx = make_case(rng, 2, 4, 4, 128, 16, 2, [20, 31])
     out = paged_decode_attention(
-        q[:, 0], kp, vp, tables, ctx, block_size=16, scale=128**-0.5, interpret=True
+        q[:, 0], pool, tables, ctx, block_size=16, scale=128**-0.5, interpret=True
     )
-    ref = paged_attention_dense(q, kp, vp, tables, ctx, (ctx - 1)[:, None], 16, 128**-0.5)
+    ref = paged_attention_dense(q, pool, tables, ctx, (ctx - 1)[:, None], 16, 128**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-5, atol=1e-5)
 
 
@@ -87,13 +87,13 @@ def test_kernel_v2_matches_dense(ctx_lens):
     rng = np.random.default_rng(0)
     b, nh, nkv, hd, bs = len(ctx_lens), 8, 4, 128, 16
     w = 4
-    q, kp, vp, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
     scale = hd**-0.5
     positions = (ctx - 1)[:, None]
 
-    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale)
+    ref = paged_attention_dense(q, pool, tables, ctx, positions, bs, scale)
     out = paged_decode_attention_v2(
-        q[:, 0], kp, vp, tables, ctx, block_size=bs, scale=scale, interpret=True
+        q[:, 0], pool, tables, ctx, block_size=bs, scale=scale, interpret=True
     )
     valid = np.asarray(ctx) > 0
     np.testing.assert_allclose(
@@ -103,12 +103,8 @@ def test_kernel_v2_matches_dense(ctx_lens):
 
 
 def make_int8_case(rng, b, nh, nkv, hd, bs, w, ctx):
-    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
-
     S = 16 * bs
-    kp = jnp.zeros((S, nkv * hd), jnp.int8)
-    vp = jnp.zeros((S, nkv * hd), jnp.int8)
-    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
+    pool = jnp.zeros((S, row_width(nkv * hd, True)), jnp.int8)
     tables = np.full((b, w), -1, np.int32)
     nxt = 0
     for i, c in enumerate(ctx):
@@ -121,8 +117,8 @@ def make_int8_case(rng, b, nh, nkv, hd, bs, w, ctx):
             nxt += 1
         rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
         rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
-        kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
-    return kp, vp, sc, jnp.asarray(tables), jnp.asarray(ctx, jnp.int32)
+        pool = write_kv_quant(pool, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+    return pool, jnp.asarray(tables), jnp.asarray(ctx, jnp.int32)
 
 
 @pytest.mark.parametrize("ppc", [None, 2])
@@ -131,15 +127,15 @@ def test_kernel_v2_int8_matches_dense(ppc):
 
     rng = np.random.default_rng(1)
     b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 3
-    kp, vp, sc, tables, ctx_a = make_int8_case(rng, b, nh, nkv, hd, bs, w, [20, 37])
+    pool, tables, ctx_a = make_int8_case(rng, b, nh, nkv, hd, bs, w, [20, 37])
     q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
     scale = hd**-0.5
     ref = paged_attention_dense(
-        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=sc
+        q, pool, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale
     )
     out = paged_decode_attention_v2(
-        q[:, 0], kp, vp, tables, ctx_a, block_size=bs, scale=scale,
-        interpret=True, kv_scales=sc, max_pages_per_chunk=ppc,
+        q[:, 0], pool, tables, ctx_a, block_size=bs, scale=scale,
+        interpret=True, max_pages_per_chunk=ppc,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-4, atol=1e-4)
 
@@ -147,15 +143,14 @@ def test_kernel_v2_int8_matches_dense(ppc):
 def test_kernel_v1_int8_matches_dense():
     rng = np.random.default_rng(1)
     b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 16, 3
-    kp, vp, sc, tables, ctx_a = make_int8_case(rng, b, nh, nkv, hd, bs, w, [20, 37])
+    pool, tables, ctx_a = make_int8_case(rng, b, nh, nkv, hd, bs, w, [20, 37])
     q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
     scale = hd**-0.5
     ref = paged_attention_dense(
-        q, kp, vp, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale, kv_scales=sc
+        q, pool, tables, ctx_a, (ctx_a - 1)[:, None], bs, scale
     )
     out = paged_decode_attention(
-        q[:, 0], kp, vp, tables, ctx_a, block_size=bs, scale=scale,
-        interpret=True, kv_scales=sc,
+        q[:, 0], pool, tables, ctx_a, block_size=bs, scale=scale, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[:, 0], rtol=1e-4, atol=1e-4)
 
@@ -169,11 +164,11 @@ def test_kernel_v2_multichunk_matches_dense(ppc):
     ctx_lens = [60, 17, 0, 33]
     b, nh, nkv, hd, bs = len(ctx_lens), 8, 4, 128, 16
     w = 4
-    q, kp, vp, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
     scale = hd**-0.5
-    ref = paged_attention_dense(q, kp, vp, tables, ctx, (ctx - 1)[:, None], bs, scale)
+    ref = paged_attention_dense(q, pool, tables, ctx, (ctx - 1)[:, None], bs, scale)
     out = paged_decode_attention_v2(
-        q[:, 0], kp, vp, tables, ctx, block_size=bs, scale=scale,
+        q[:, 0], pool, tables, ctx, block_size=bs, scale=scale,
         interpret=True, max_pages_per_chunk=ppc,
     )
     valid = np.asarray(ctx) > 0
@@ -192,7 +187,7 @@ def test_v2_kernel_tail_matches_dense_merge():
     rng = np.random.default_rng(5)
     b, nh, nkv, hd, bs, w = 3, 8, 4, 128, 16, 4
     ctx_lens = [20, 1, 0]  # pool tokens (pre-window); row 2 is padding
-    q4, k_pool, v_pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q4, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
     q = q4[:, 0]
     t_max = 8
     k_tail = jnp.asarray(rng.normal(size=(b, t_max, nkv, hd)), jnp.float32)
@@ -200,12 +195,12 @@ def test_v2_kernel_tail_matches_dense_merge():
     scale = hd**-0.5
     for tail_len in (0, 3, 7):
         out_kernel = paged_decode_attention_v2(
-            q, k_pool, v_pool, tables, ctx, block_size=bs, scale=scale,
+            q, pool, tables, ctx, block_size=bs, scale=scale,
             interpret=True, k_tail=k_tail, v_tail=v_tail,
             tail_len=jnp.int32(tail_len),
         )
         out_dense = decode_attention_with_tail(
-            q, k_pool, v_pool, tables, ctx, k_tail, v_tail,
+            q, pool, tables, ctx, k_tail, v_tail,
             jnp.int32(tail_len), bs, scale, backend="dense",
         )
         np.testing.assert_allclose(
@@ -223,15 +218,15 @@ def test_v2_kernel_return_ml():
     from byox_vllm_tpu.ops.attention import _paged_attention_ml
     from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v2
 
-    q4, k_pool, v_pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q4, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
     q = q4[:, 0]
     scale = hd**-0.5
     out, ml = paged_decode_attention_v2(
-        q, k_pool, v_pool, tables, ctx, block_size=bs, scale=scale,
+        q, pool, tables, ctx, block_size=bs, scale=scale,
         interpret=True, return_ml=True,
     )
     o_d, m_d, l_d = _paged_attention_ml(
-        q, k_pool, v_pool, tables, ctx, bs, scale, backend="dense"
+        q, pool, tables, ctx, bs, scale, backend="dense"
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(o_d), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ml[..., 0]), np.asarray(m_d), rtol=1e-5, atol=1e-5)
@@ -247,12 +242,12 @@ def test_v3_kernel_matches_dense(sb):
     rng = np.random.default_rng(7)
     b, nh, nkv, hd, bs, w = 8, 8, 4, 128, 16, 6
     ctx_lens = [7, 33, 0, 96, 16, 1, 50, 0]
-    q4, k_pool, v_pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    q4, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
     scale = hd**-0.5
     positions = (ctx - 1)[:, None]
-    ref = paged_attention_dense(q4, k_pool, v_pool, tables, ctx, positions, bs, scale)
+    ref = paged_attention_dense(q4, pool, tables, ctx, positions, bs, scale)
     out = paged_decode_attention_v3(
-        q4[:, 0], k_pool, v_pool, tables, ctx, block_size=bs, scale=scale,
+        q4[:, 0], pool, tables, ctx, block_size=bs, scale=scale,
         interpret=True, seqs_per_step=sb, max_pages_per_chunk=2,
     )
     for i, c in enumerate(ctx_lens):
@@ -267,16 +262,13 @@ def test_v3_kernel_matches_dense(sb):
 def test_v3_kernel_int8_and_tail():
     """v3 with int8 pool + window tail vs the dense merge path."""
     from byox_vllm_tpu.ops.attention import decode_attention_with_tail
-    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
     from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
 
     rng = np.random.default_rng(8)
     b, nh, nkv, hd, bs = 4, 8, 4, 128, 16
     ctx_lens = [20, 5, 37, 0]
     S = 32 * bs
-    kp = jnp.zeros((S, nkv * hd), jnp.int8)
-    vp = jnp.zeros((S, nkv * hd), jnp.int8)
-    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
+    pool = jnp.zeros((S, row_width(nkv * hd, True)), jnp.int8)
     tables = np.full((b, 4), -1, np.int32)
     nxt = 0
     for i, c in enumerate(ctx_lens):
@@ -286,7 +278,7 @@ def test_v3_kernel_int8_and_tail():
             slots = jnp.asarray(range(nxt * bs, nxt * bs + hi), jnp.int32)
             rows_k = jnp.asarray(rng.normal(size=(hi, nkv, hd)), jnp.float32)
             rows_v = jnp.asarray(rng.normal(size=(hi, nkv, hd)), jnp.float32)
-            kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, slots)
+            pool = write_kv_quant(pool, rows_k, rows_v, slots)
             nxt += 1
     tables = jnp.asarray(tables)
     ctx = jnp.asarray(ctx_lens, jnp.int32)
@@ -297,13 +289,13 @@ def test_v3_kernel_int8_and_tail():
     scale = hd**-0.5
     for tl in (0, 5):
         out = paged_decode_attention_v3(
-            q, kp, vp, tables, ctx, block_size=bs, scale=scale, interpret=True,
-            kv_scales=sc, seqs_per_step=2, k_tail=k_tail, v_tail=v_tail,
+            q, pool, tables, ctx, block_size=bs, scale=scale, interpret=True,
+            seqs_per_step=2, k_tail=k_tail, v_tail=v_tail,
             tail_len=jnp.int32(tl),
         )
         ref = decode_attention_with_tail(
-            q, kp, vp, tables, ctx, k_tail, v_tail, jnp.int32(tl), bs, scale,
-            kv_scales=sc, backend="dense",
+            q, pool, tables, ctx, k_tail, v_tail, jnp.int32(tl), bs, scale,
+            backend="dense",
         )
         for i, c in enumerate(ctx_lens):
             if c == 0:
@@ -312,5 +304,3 @@ def test_v3_kernel_int8_and_tail():
                 np.testing.assert_allclose(
                     np.asarray(out[i]), np.asarray(ref[i]), rtol=1e-4, atol=1e-4
                 )
-
-

@@ -6,15 +6,14 @@ import numpy as np
 import pytest
 
 from byox_vllm_tpu.ops.attention import paged_attention_dense
-from byox_vllm_tpu.ops.kv_cache import write_kv
+from byox_vllm_tpu.ops.kv_cache import row_width, write_kv
 from byox_vllm_tpu.ops.prefill_attention import paged_prefill_attention
 
 
 def build(rng, ctx_lens, q_lens, nh=8, nkv=4, hd=128, bs=16, w=8, tq=32):
     b = len(ctx_lens)
     S = 32 * bs
-    kp = jnp.zeros((S, nkv * hd), jnp.float32)
-    vp = jnp.zeros((S, nkv * hd), jnp.float32)
+    pool = jnp.zeros((S, row_width(nkv * hd, False)), jnp.float32)
     tables = np.full((b, w), -1, np.int32)
     nxt = 0
     for i, c in enumerate(ctx_lens):
@@ -24,13 +23,13 @@ def build(rng, ctx_lens, q_lens, nh=8, nkv=4, hd=128, bs=16, w=8, tq=32):
             slots = list(range(nxt * bs, nxt * bs + hi))
             rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
             rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
-            kp, vp = write_kv(kp, vp, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+            pool = write_kv(pool, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
             nxt += 1
     q = jnp.asarray(rng.normal(size=(b, tq, nh, hd)), jnp.float32)
     ctx = jnp.asarray(ctx_lens, jnp.int32)
     ql = jnp.asarray(q_lens, jnp.int32)
     positions = (ctx - ql)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
-    return q, kp, vp, jnp.asarray(tables), ctx, ql, positions
+    return q, pool, jnp.asarray(tables), ctx, ql, positions
 
 
 @pytest.mark.parametrize(
@@ -45,11 +44,11 @@ def build(rng, ctx_lens, q_lens, nh=8, nkv=4, hd=128, bs=16, w=8, tq=32):
 def test_prefill_kernel_matches_dense(ctx_lens, q_lens):
     rng = np.random.default_rng(0)
     bs = 16
-    q, kp, vp, tables, ctx, ql, positions = build(rng, ctx_lens, q_lens, bs=bs)
+    q, pool, tables, ctx, ql, positions = build(rng, ctx_lens, q_lens, bs=bs)
     scale = 128**-0.5
-    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale)
+    ref = paged_attention_dense(q, pool, tables, ctx, positions, bs, scale)
     out = paged_prefill_attention(
-        q, kp, vp, tables, ctx, ql, block_size=bs, scale=scale, interpret=True
+        q, pool, tables, ctx, ql, block_size=bs, scale=scale, interpret=True
     )
     # compare only real query rows (padding rows are discarded downstream)
     for i, qn in enumerate(q_lens):
@@ -60,7 +59,7 @@ def test_prefill_kernel_matches_dense(ctx_lens, q_lens):
 
 def test_prefill_kernel_int8_matches_dense():
     """INT8 KV pool: per-(token, head) scale dequant inside the kernel."""
-    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, write_kv_quant
+    from byox_vllm_tpu.ops.kv_cache import write_kv_quant
 
     rng = np.random.default_rng(2)
     bs = 16
@@ -68,9 +67,7 @@ def test_prefill_kernel_int8_matches_dense():
     b, nh, nkv, hd = 2, 8, 4, 128
     tq = max(q_lens)
     S = 16 * bs
-    kp = jnp.zeros((S, nkv * hd), jnp.int8)
-    vp = jnp.zeros((S, nkv * hd), jnp.int8)
-    sc = jnp.zeros((S, SCALE_LANES), jnp.bfloat16)
+    pool = jnp.zeros((S, row_width(nkv * hd, True)), jnp.int8)
     tables = np.full((b, 4), -1, np.int32)
     nxt = 0
     for i, c in enumerate(ctx_lens):
@@ -83,17 +80,16 @@ def test_prefill_kernel_int8_matches_dense():
             nxt += 1
         rows_k = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
         rows_v = jnp.asarray(rng.normal(size=(len(slots), nkv, hd)), jnp.float32)
-        kp, vp, sc = write_kv_quant(kp, vp, sc, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
+        pool = write_kv_quant(pool, rows_k, rows_v, jnp.asarray(slots, jnp.int32))
     tables = jnp.asarray(tables)
     ctx = jnp.asarray(ctx_lens, jnp.int32)
     ql = jnp.asarray(q_lens, jnp.int32)
     q = jnp.asarray(rng.normal(size=(b, tq, nh, hd)), jnp.float32)
     positions = (ctx - ql)[:, None] + jnp.arange(tq, dtype=jnp.int32)[None, :]
     scale = hd**-0.5
-    ref = paged_attention_dense(q, kp, vp, tables, ctx, positions, bs, scale, kv_scales=sc)
+    ref = paged_attention_dense(q, pool, tables, ctx, positions, bs, scale)
     out = paged_prefill_attention(
-        q, kp, vp, tables, ctx, ql, block_size=bs, scale=scale, interpret=True,
-        kv_scales=sc,
+        q, pool, tables, ctx, ql, block_size=bs, scale=scale, interpret=True,
     )
     for i, qn in enumerate(q_lens):
         np.testing.assert_allclose(
@@ -116,13 +112,13 @@ def test_prefill_kernel_window_matches_dense(ctx_lens, q_lens, window):
     kernel's window semantics, extended to prefill — VERDICT r2 item 6)."""
     rng = np.random.default_rng(7)
     bs = 16
-    q, kp, vp, tables, ctx, ql, positions = build(rng, ctx_lens, q_lens, bs=bs)
+    q, pool, tables, ctx, ql, positions = build(rng, ctx_lens, q_lens, bs=bs)
     scale = 128**-0.5
     ref = paged_attention_dense(
-        q, kp, vp, tables, ctx, positions, bs, scale, window=window
+        q, pool, tables, ctx, positions, bs, scale, window=window
     )
     out = paged_prefill_attention(
-        q, kp, vp, tables, ctx, ql, block_size=bs, scale=scale, interpret=True,
+        q, pool, tables, ctx, ql, block_size=bs, scale=scale, interpret=True,
         window=window,
     )
     for i, qn in enumerate(q_lens):

@@ -85,8 +85,9 @@ def test_decode_kernel_window_matches_dense():
     num_blocks = b * w + 1
     ctx = np.array([150, 40, 17, 1, 190, 64, 96, 33], np.int32)
     window = 24
-    k_pool = jnp.asarray(rng.normal(size=(num_blocks * bs, nkv * hd)).astype(np.float32))
-    v_pool = jnp.asarray(rng.normal(size=(num_blocks * bs, nkv * hd)).astype(np.float32))
+    pool = jnp.asarray(
+        rng.normal(size=(num_blocks * bs, 2 * nkv * hd)).astype(np.float32)
+    )
     tables = jnp.asarray(
         (np.arange(b)[:, None] * w + np.arange(w)[None, :]).astype(np.int32)
     )
@@ -94,11 +95,11 @@ def test_decode_kernel_window_matches_dense():
     scale = hd**-0.5
 
     out_k = paged_decode_attention_v3(
-        q, k_pool, v_pool, tables, jnp.asarray(ctx),
+        q, pool, tables, jnp.asarray(ctx),
         block_size=bs, scale=scale, interpret=True, seqs_per_step=4, window=window,
     )
     ref = paged_attention_dense(
-        q[:, None], k_pool, v_pool, tables, jnp.asarray(ctx),
+        q[:, None], pool, tables, jnp.asarray(ctx),
         (ctx - 1)[:, None], bs, scale, window=window,
     )[:, 0]
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), rtol=2e-5, atol=2e-5)
@@ -197,40 +198,40 @@ def test_with_tail_dense_masks_old_tail_rows():
     t_max, tail_index, window = 8, 7, 4  # tail rows 0..3 fall outside
     w = 4
     num_blocks = b * w
-    k_pool = np.zeros((num_blocks * bs, nkv * hd), np.float32)
-    v_pool = np.zeros((num_blocks * bs, nkv * hd), np.float32)
+    pool = np.zeros((num_blocks * bs, 2 * nkv * hd), np.float32)
     tables = (np.arange(b)[:, None] * w + np.arange(w)[None, :]).astype(np.int32)
     k_tail = rng.normal(size=(b, t_max, nkv, hd)).astype(np.float32)
     v_tail = rng.normal(size=(b, t_max, nkv, hd)).astype(np.float32)
     q = rng.normal(size=(b, nh, hd)).astype(np.float32)
+    f = nkv * hd
     for i in range(b):
-        rows = rng.normal(size=(pool_ctx[i], nkv * hd)).astype(np.float32)
-        vrows = rng.normal(size=(pool_ctx[i], nkv * hd)).astype(np.float32)
+        rows = rng.normal(size=(pool_ctx[i], f)).astype(np.float32)
+        vrows = rng.normal(size=(pool_ctx[i], f)).astype(np.float32)
         base = i * w * bs
-        k_pool[base : base + pool_ctx[i]] = rows
-        v_pool[base : base + pool_ctx[i]] = vrows
+        pool[base : base + pool_ctx[i], :f] = rows
+        pool[base : base + pool_ctx[i], f:] = vrows
     scale = hd**-0.5
 
     out = decode_attention_with_tail(
-        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(q), jnp.asarray(pool),
         jnp.asarray(tables), jnp.asarray(pool_ctx),
         jnp.asarray(k_tail), jnp.asarray(v_tail), jnp.int32(tail_index),
         bs, scale, backend="dense", window=window,
     )
 
     # reference: materialize tail rows into the pool and run windowed dense
-    k_ref, v_ref = k_pool.copy(), v_pool.copy()
+    pool_ref = pool.copy()
     for i in range(b):
         base = i * w * bs
-        k_ref[base + pool_ctx[i] : base + pool_ctx[i] + tail_index + 1] = (
+        pool_ref[base + pool_ctx[i] : base + pool_ctx[i] + tail_index + 1, :f] = (
             k_tail[i, : tail_index + 1].reshape(tail_index + 1, -1)
         )
-        v_ref[base + pool_ctx[i] : base + pool_ctx[i] + tail_index + 1] = (
+        pool_ref[base + pool_ctx[i] : base + pool_ctx[i] + tail_index + 1, f:] = (
             v_tail[i, : tail_index + 1].reshape(tail_index + 1, -1)
         )
     full_ctx = pool_ctx + tail_index + 1
     ref = paged_attention_dense(
-        jnp.asarray(q)[:, None], jnp.asarray(k_ref), jnp.asarray(v_ref),
+        jnp.asarray(q)[:, None], jnp.asarray(pool_ref),
         jnp.asarray(tables), jnp.asarray(full_ctx), (full_ctx - 1)[:, None],
         bs, scale, window=window,
     )[:, 0]

@@ -108,7 +108,7 @@ def main():
             attn_backend = "dense"
 
         if variant == "noattn":
-            def attend(q, kp, vp, bt, cl, pos, bs, scale, kv_scales=None, window=None):
+            def attend(q, pool, bt, cl, pos, bs, scale, window=None):
                 return q  # skip attention entirely
         elif variant == "nokv":
             # attention over the pool but no KV writes: monkeypatched below
@@ -148,8 +148,8 @@ def main():
             import byox_vllm_tpu.models.qwen3 as q3
             orig_write = q3.write_kv
             orig_write_q = q3.write_kv_quant
-            q3.write_kv = lambda kp, vp, k, v, s: (kp, vp)
-            q3.write_kv_quant = lambda kp, vp, sc, k, v, s: (kp, vp, sc)
+            q3.write_kv = lambda pool, k, v, s: pool
+            q3.write_kv_quant = lambda pool, k, v, s: pool
         step = make_step(variant)
         toks = jnp.asarray(np.random.randint(0, 1000, B).astype(np.int32))
         out, kv = step(params, toks, kv)

@@ -50,18 +50,19 @@ def main():
     num_slots = B * W * BS
     rng = np.random.default_rng(0)
     kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
-    if args.kv == "int8":
-        from byox_vllm_tpu.ops.kv_cache import SCALE_LANES
+    from byox_vllm_tpu.ops.kv_cache import SCALE_LANES, encode_scale_bytes, row_width
 
-        kp = jnp.asarray(rng.integers(-127, 127, (num_slots, F), dtype=np.int8))
-        vp = jnp.asarray(rng.integers(-127, 127, (num_slots, F), dtype=np.int8))
+    if args.kv == "int8":
+        data = rng.integers(-127, 127, (num_slots, 2 * F), dtype=np.int8)
         sc = np.zeros((num_slots, SCALE_LANES), np.float32)
         sc[:, : 2 * NKV] = rng.random((num_slots, 2 * NKV), dtype=np.float32) * 0.01
-        scales = jnp.asarray(sc).astype(jnp.bfloat16)
+        sc_bytes = np.asarray(encode_scale_bytes(jnp.asarray(sc).astype(jnp.bfloat16)))
+        pool = jnp.asarray(np.concatenate([data, sc_bytes], axis=1))
+        assert pool.shape[1] == row_width(F, True)
     else:
-        kp = jnp.asarray(rng.standard_normal((num_slots, F)).astype(np.float32)).astype(kv_dtype)
-        vp = jnp.asarray(rng.standard_normal((num_slots, F)).astype(np.float32)).astype(kv_dtype)
-        scales = None
+        pool = jnp.asarray(
+            rng.standard_normal((num_slots, 2 * F)).astype(np.float32)
+        ).astype(kv_dtype)
     # shuffled page assignment (realistic non-contiguous tables)
     perm = rng.permutation(B * W).astype(np.int32)
     tables = jnp.asarray(perm.reshape(B, W))
@@ -96,27 +97,27 @@ def main():
         # pools threaded as args, NOT closure constants: closure capture
         # embeds them in the compile request (HTTP 413 past ~100 MB) and
         # bloats every cache entry
-        def run(q, kp, vp, tables, ctx_lens, scales, it):
+        def run(q, pool, tables, ctx_lens, it):
             def body(carry, i):
                 q = carry
                 o = fn(
-                    q, kp, vp, tables, ctx_lens,
-                    block_size=BS, scale=scale, kv_scales=scales,
+                    q, pool, tables, ctx_lens,
+                    block_size=BS, scale=scale,
                 )
                 return o, ()
             out, _ = jax.lax.scan(body, q, jnp.arange(it))
             return out
 
-        jitted = jax.jit(run, static_argnums=(6,))
+        jitted = jax.jit(run, static_argnums=(4,))
         lo, hi = args.iters, args.iters * 8
         for it in (lo, hi):  # compile both
-            _ = jax.device_get(jitted(q0, kp, vp, tables, ctx_lens, scales, it))
+            _ = jax.device_get(jitted(q0, pool, tables, ctx_lens, it))
 
         def timed(it, i):
             qi = q0 * (1.0 + jnp.float32(0.001 * (i + 1)).astype(q0.dtype))
             _ = jax.device_get(qi)
             t0 = time.perf_counter()
-            _ = jax.device_get(jitted(qi, kp, vp, tables, ctx_lens, scales, it))
+            _ = jax.device_get(jitted(qi, pool, tables, ctx_lens, it))
             return time.perf_counter() - t0
 
         t_lo = min(timed(lo, i) for i in range(3))

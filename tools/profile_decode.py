@@ -148,14 +148,13 @@ def main():
     ctx = jnp.full((B,), CTX, jnp.int32)
     pos = jnp.full((B, 1), CTX - 1, jnp.int32)
     bt = jnp.asarray(padded.block_tables)
-    kv_scales = lay[2] if len(lay) == 3 else None
-    att = jax.jit(lambda q, k, v, sc: paged_attention(
-        q, k, v, bt, ctx, pos, bs, spec.head_dim ** -0.5, kv_scales=sc))
-    r = att(q, lay[0], lay[1], kv_scales); jax.block_until_ready(r)
+    att = jax.jit(lambda q, pool: paged_attention(
+        q, pool, bt, ctx, pos, bs, spec.head_dim ** -0.5))
+    r = att(q, lay[0]); jax.block_until_ready(r)
     n = 50
     t0 = time.perf_counter()
     for _ in range(n):
-        r = att(q, lay[0], lay[1], kv_scales)
+        r = att(q, lay[0])
     jax.block_until_ready(r)
     ms = (time.perf_counter() - t0) / n * 1e3
     kv_read = B * CTX * spec.num_kv_heads * spec.head_dim * 2 * (1 if args.kv == "int8" else 2)
