@@ -218,6 +218,8 @@ class ModelRunner:
             if params is not None:
                 from dataclasses import replace
 
+                from byox_vllm_tpu.ops.quant import fold_enabled, fold_pack
+
                 head_bits = qmeta.get("head_bits")
                 if (
                     head_bits is None
@@ -231,8 +233,21 @@ class ModelRunner:
 
                     head_bits = 8
                     params["lm_head"] = quantize_head(
-                        params["lm_head"], head_bits, group=config.quant_group
+                        params["lm_head"], head_bits, group=config.quant_group,
+                        fold=fold_enabled(self.spec.act_bits),
                     )
+                if fold_enabled(self.spec.act_bits) and qmeta["bits"] == 4:
+                    # legacy {"q","s"} pack under w4a8: snap scales to the
+                    # folded layout (bounded post-hoc rounding — fresh packs
+                    # via tools/quantize.py --quant w4a8 fold exactly)
+                    params["layers"] = {
+                        name: (
+                            fold_pack(w, qmeta["bits"])
+                            if isinstance(w, dict) and "s" in w
+                            else w
+                        )
+                        for name, w in params["layers"].items()
+                    }
                 self.spec = replace(self.spec, quant_bits=qmeta["bits"], head_bits=head_bits)
                 logger.info("loaded pre-quantized int%d pack from %s", qmeta["bits"], config.model)
             else:

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from byox_vllm_tpu.ops.attention import paged_attention
 from byox_vllm_tpu.ops.kv_cache import write_kv, write_kv_quant, write_kv_runs
 from byox_vllm_tpu.ops.norms import rms_norm
-from byox_vllm_tpu.ops.quant import quant_matmul, quantize_weight
+from byox_vllm_tpu.ops.quant import (
+    fold_enabled, quant_matmul, quantize_weight, quantize_weight_folded,
+)
 from byox_vllm_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
 
 QUANTIZED_LAYER_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
@@ -100,37 +102,46 @@ def _slice_layer(w, i):
     return w[i]
 
 
-def quantize_layer_params(layer_params: dict, bits: int, group: int | None = None) -> dict:
+def quantize_layer_params(
+    layer_params: dict, bits: int, group: int | None = None, fold: bool = False
+) -> dict:
     """Quantize the four big per-layer matmul weights (stacked [L, K, M]);
     norms/bias stay dense. TP-agnostic: serving-time scale-row sharding is
     handled by exact group refinement (parallel/tp.py::tp_refine_layer_scales).
     ``group`` threads config.quant_group so checkpoint loads honor the same
-    knob as random init (ADVICE r4: it was silently dropped here)."""
+    knob as random init (ADVICE r4: it was silently dropped here).
+    ``fold``: folded-scale packs for the int8-MXU kernels (ops/quant.py)."""
+    quant = quantize_weight_folded if fold else quantize_weight
     out = dict(layer_params)
     for name in QUANTIZED_LAYER_WEIGHTS:
         if name in layer_params:  # MoE layers have no dense w_gate_up/w_down
-            out[name] = quantize_weight(layer_params[name], bits, group=group)
+            out[name] = quant(layer_params[name], bits, group=group)
     return out
 
 
-def quantize_head(lm_head, bits: int, on_device: bool = False, group: int | None = None) -> dict:
+def quantize_head(
+    lm_head, bits: int, on_device: bool = False, group: int | None = None,
+    fold: bool = False,
+) -> dict:
     """lm_head [V, D] float -> {"q": int8 [D, V_pad], "s": f32 [D/G, V_pad]}
     stored pre-transposed for the fused dequant-matmul (x [N, D] @ W [D, V]).
     V is padded up to a multiple of 1024 so the qmm kernel can tile the
     output dim (151936 = 1187 * 128 would force 128-wide tiles); the forward
     slices logits back to the real vocab. ``on_device``: pad/transpose/
-    quantize on the accelerator (random init) instead of host numpy."""
+    quantize on the accelerator (random init) instead of host numpy.
+    ``fold``: per-channel {"q", "S"} pack for the folded W8A8 head kernel."""
+    quant = quantize_weight_folded if fold else quantize_weight
     v, d = lm_head.shape
     v_pad = -(-v // 1024) * 1024
     if on_device:
         w = jnp.zeros((d, v_pad), jnp.float32)
         w = jax.lax.dynamic_update_slice(w, lm_head.astype(jnp.float32).T, (0, 0))
-        return quantize_weight(w, bits=bits, group=group, on_device=True)
+        return quant(w, bits=bits, group=group, on_device=True)
     import numpy as np
 
     w = np.zeros((d, v_pad), np.float32)
     w[:, :v] = np.asarray(jax.device_get(lm_head)).astype(np.float32).T
-    return quantize_weight(w, bits=bits, group=group)
+    return quant(w, bits=bits, group=group)
 
 
 def unstack_layer_params(layer_params: dict, num_layers: int) -> dict:
@@ -267,19 +278,19 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
             return w(*shape, scale=scale)
         counter[0] += 1
         k = jax.random.fold_in(key, counter[0])
+        quant = (
+            quantize_weight_folded if fold_enabled(spec.act_bits) else quantize_weight
+        )
         per_layer = []
         for layer in range(shape[0]):
             x = scale * jax.random.normal(
                 jax.random.fold_in(k, layer), shape[1:], dtype=dtype
             )
             per_layer.append(
-                quantize_weight(
-                    x, spec.quant_bits, group=spec.quant_group, on_device=True
-                )
+                quant(x, spec.quant_bits, group=spec.quant_group, on_device=True)
             )
         return {
-            "q": jnp.stack([p["q"] for p in per_layer]),
-            "s": jnp.stack([p["s"] for p in per_layer]),
+            leaf: jnp.stack([p[leaf] for p in per_layer]) for leaf in per_layer[0]
         }
 
     def ones(*shape):
@@ -314,7 +325,8 @@ def init_params(spec: Qwen3Spec, dtype=jnp.bfloat16, seed: int = 0) -> dict:
     # matmul weights were generated pre-quantized by wq(); only the head is left
     if spec.head_bits is not None and not spec.tie_word_embeddings:
         params["lm_head"] = quantize_head(
-            params["lm_head"], spec.head_bits, on_device=True
+            params["lm_head"], spec.head_bits, on_device=True,
+            fold=fold_enabled(spec.act_bits),
         )
     return params
 

@@ -125,6 +125,118 @@ def quantize_weight(w, bits: int = 8, group: int | None = None,
     return {"q": q, "s": scales}
 
 
+# --- folded scales (supergroup / "double quantization") --------------------
+#
+# The int8-MXU kernels below (W4A8/W8A8) accumulate per quantization group
+# and pay a 3-pass f32 VPU epilogue (convert, scale-mul, add) on every
+# [TN, TM] partial — at B=128 that VPU work costs about as much as the MXU
+# dots themselves (ABLATE_r04: body 8.0 ms vs int8-MXU ideal 4.9). Folding
+# removes it: per-group scales are constrained to integer multiples of ONE
+# per-column super-scale, s[g, m] = m[g, m] * S[m] with m in [1, 15], so the
+# kernel multiplies the int4 weights by m IN THE INTEGER DOMAIN (values
+# <= 7*15 = 105 stay int8; products accumulate exactly in int32:
+# 127 * 105 * K < 2^31 for any real K) and applies S once per output tile —
+# ONE int8 MXU dot per k-tile, ONE epilogue per output, no per-group VPU
+# work. For int8 weights (the LM head) the fold is per-channel scales
+# (G = K): no multiplier needed at all.
+#
+# Freshly quantized packs are EXACT under the constraint (weights are
+# rounded against s = m * S directly); fold_pack() converts legacy
+# {"q", "s"} packs post-hoc with a bounded scale-rounding error (<= 0.5/m
+# relative, only where group scales vary >15x within a column).
+
+M_MAX = 15.0  # multiplier range: 7 * 15 = 105 keeps folded int4 values in int8
+
+
+def fold_enabled(act_bits) -> bool:
+    """Folded packs are the default for the int8-activation (W4A8/W8A8)
+    serving mode; BYOX_NO_QMM_FOLD=1 restores the per-group kernels (A/B)."""
+    return act_bits == 8 and os.environ.get("BYOX_NO_QMM_FOLD") != "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _quantize_folded_core(bits: int, g: int):
+    @jax.jit
+    def _quantize(w):
+        *lead, k, m = w.shape
+        wf = w.astype(jnp.float32)
+        if bits == 8:
+            # per-channel: one scale per output column over the whole K
+            s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8) / 127.0
+            q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+            return q, s  # s == S [..., 1, M]
+        grouped = wf.reshape(*lead, k // g, g, m)
+        s_star = jnp.maximum(jnp.max(jnp.abs(grouped), axis=-2) / 7.0, 1e-8)
+        S = jnp.max(s_star, axis=-2, keepdims=True) / M_MAX  # [..., 1, M]
+        mult = jnp.clip(jnp.ceil(s_star / S - 1e-6), 1.0, M_MAX)  # integer-valued f32
+        s = mult * S
+        q = jnp.clip(jnp.round(grouped / s[..., :, None, :]), -7, 7)
+        q = q.reshape(*lead, k, m).astype(jnp.int8)
+        lo = (q[..., 0::2, :] & 15).astype(jnp.uint8)
+        hi = (q[..., 1::2, :] & 15).astype(jnp.uint8)
+        q = (lo | (hi << 4)).astype(jnp.int8)
+        return q, mult, S
+
+    return _quantize
+
+
+def quantize_weight_folded(w, bits: int = 4, group: int | None = None,
+                           on_device: bool = False) -> dict:
+    """Folded-scale quantization (see block comment above).
+
+    bits=4: {"q": int8 [..., K/2, M] nibble-packed, "m": f32 [..., K/G, M]
+    integer multipliers, "S": f32 [..., 1, M]} with s = m * S exact.
+    bits=8: {"q": int8 [..., K, M], "S": f32 [..., 1, M]} per-channel.
+    """
+    *lead, k, m = w.shape
+    g = group or pick_group(k, bits)
+    assert k % g == 0
+    _quantize = _quantize_folded_core(bits, g)
+    if on_device:
+        out = _quantize(jnp.asarray(w))
+    else:
+        with jax.default_device(jax.devices("cpu")[0]):
+            if isinstance(w, np.ndarray):
+                w = jnp.asarray(w)
+            out = _quantize(w)
+    if bits == 8:
+        q, S = out
+        return {"q": q, "S": S}
+    q, mult, S = out
+    return {"q": q, "m": mult, "S": S}
+
+
+def fold_pack(qdict: dict, bits: int) -> dict:
+    """Convert a legacy {"q", "s"} pack to the folded layout post-hoc.
+
+    The group scales are snapped to integer multiples of the column max/15;
+    unlike fresh folded quantization the weights were rounded against the
+    ORIGINAL scales, so this adds a bounded dequant error (relative scale
+    error <= 0.5/m per group — material only where scales vary >15x within
+    a column). Fresh quantization paths never take this route."""
+    if "S" in qdict:
+        return qdict  # already folded
+    q, s = qdict["q"], jnp.asarray(qdict["s"], jnp.float32)
+    if bits == 8:
+        if s.shape[-2] == 1:
+            return {"q": q, "S": s}
+        raise ValueError(
+            "cannot fold a grouped int8 pack post-hoc (multipliers would "
+            "overflow int8); requantize with quantize_weight_folded"
+        )
+    S = jnp.max(s, axis=-2, keepdims=True) / M_MAX
+    mult = jnp.clip(jnp.round(s / S), 1.0, M_MAX)
+    return {"q": q, "m": mult, "S": S}
+
+
+def folded_scales(w: dict, bits: int):
+    """Equivalent per-group scale tensor of a folded pack (for the dense
+    dequantize fallback): [..., K/G, M] (bits=4) or [..., 1, M] (bits=8)."""
+    if bits == 8 or "m" not in w:
+        return w["S"]
+    return w["m"] * w["S"]
+
+
 def refine_scales(qdict: dict, tp: int, bits: int) -> dict:
     """Split quantization groups so scale rows shard tp-ways — EXACTLY.
 
@@ -135,8 +247,16 @@ def refine_scales(qdict: dict, tp: int, bits: int) -> dict:
     'model' axis) when (K/G) % tp != 0 — which only happens for tiny test
     models (real checkpoints have K/G >= 32 at G=128). The reference has no
     analogue (its quant support is absent; TP sharding is per-rank narrowing
-    at load, nanovllm/layers/linear.py:126-147)."""
-    q, s = qdict["q"], qdict["s"]
+    at load, nanovllm/layers/linear.py:126-147).
+
+    Folded packs ({"q", "m", "S"}): the multiplier rows refine exactly the
+    same way (sub-groups share the multiplier); the per-column S is over the
+    GLOBAL K and stays replicated across row shards, untouched here."""
+    q = qdict["q"]
+    skey = "m" if "m" in qdict else ("s" if "s" in qdict else None)
+    if skey is None:  # per-channel folded int8: nothing row-grouped to refine
+        return qdict
+    s = qdict[skey]
     rows = s.shape[-2]
     k = q.shape[-2] * (2 if bits == 4 else 1)
     g = k // rows
@@ -148,8 +268,9 @@ def refine_scales(qdict: dict, tp: int, bits: int) -> dict:
             f"cannot refine scale groups for tp={tp}: K={k}, G={g}, "
             f"need split factor {r} (int4 requires even sub-groups)"
         )
-    s = jnp.repeat(jnp.asarray(s), r, axis=-2)
-    return {"q": q, "s": s}
+    out = dict(qdict)
+    out[skey] = jnp.repeat(jnp.asarray(s), r, axis=-2)
+    return out
 
 
 def _unpack_tile(raw, bits: int, interpret: bool):
@@ -361,34 +482,43 @@ def quant_matmul(
 ) -> jnp.ndarray:
     """Dispatch: Pallas fused dequant-matmul on TPU, XLA dequant fallback
     elsewhere. x [..., K]; returns [..., M] (in out_dtype when given).
-    act_bits=8 with bits=4 selects the W4A8 int8-MXU kernel."""
+    act_bits=8 with bits=4 selects the W4A8 int8-MXU kernel; folded packs
+    ({"q", "m", "S"} / {"q", "S"}) take the folded int32-accumulation
+    kernels (see the folded-scales block comment)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     on_tpu = jax.default_backend() in ("tpu", "axon")
     a8 = act_bits == 8 and bits in (4, 8)  # W4A8 / W8A8: int8-MXU path
+    folded = "S" in w
+    scales = folded_scales(w, bits) if folded else w["s"]
     if backend != "dense" and (backend == "pallas" or on_tpu):
         try:
-            if a8:
+            if a8 and folded:
+                out = quant_matmul_folded_pallas(
+                    x2, w["q"], w.get("m"), w["S"], interpret=not on_tpu,
+                    out_dtype=out_dtype, bits=bits,
+                )
+            elif a8:
                 out = quant_matmul_w4a8_pallas(
                     x2, w["q"], w["s"], interpret=not on_tpu, out_dtype=out_dtype,
                     bits=bits,
                 )
             else:
                 out = quant_matmul_pallas(
-                    x2, w["q"], w["s"], bits=bits, interpret=not on_tpu, out_dtype=out_dtype
+                    x2, w["q"], scales, bits=bits, interpret=not on_tpu, out_dtype=out_dtype
                 )
         except ValueError:  # K too small to tile on hardware
-            out = (x2 @ dequantize(w["q"], w["s"], bits, x.dtype)).astype(out_dtype or x.dtype)
+            out = (x2 @ dequantize(w["q"], scales, bits, x.dtype)).astype(out_dtype or x.dtype)
     else:
         if a8:
             # exact emulation of the kernel: quantized activations times the
             # dequantized weights in f32
             x8, sx = quantize_activations(x2)
-            out = (x8.astype(jnp.float32) * sx) @ dequantize(w["q"], w["s"], bits, jnp.float32)
+            out = (x8.astype(jnp.float32) * sx) @ dequantize(w["q"], scales, bits, jnp.float32)
         elif out_dtype is not None and jnp.dtype(out_dtype) == jnp.float32:
-            out = x2.astype(jnp.float32) @ dequantize(w["q"], w["s"], bits, jnp.float32)
+            out = x2.astype(jnp.float32) @ dequantize(w["q"], scales, bits, jnp.float32)
         else:
-            out = x2 @ dequantize(w["q"], w["s"], bits, x.dtype)
+            out = x2 @ dequantize(w["q"], scales, bits, x.dtype)
     return out.reshape(*lead, -1).astype(out_dtype or x.dtype)
 
 
@@ -584,3 +714,232 @@ def quant_matmul_w4a8_pallas(
         scratch_shapes=[pltpu.VMEM((tn, tm), jnp.float32)],
         interpret=interpret,
     )(x8, sx, wq, scales)
+
+
+# --- folded-scale kernels: one int8 dot per k-tile, int32 accumulation ------
+
+
+def _qmm_folded4_kernel(
+    x_ref,  # [TN, TK] int8
+    sx_ref,  # [TN, 1] f32
+    wq_ref,  # [TK/2, TM] packed int4
+    m_ref,  # [gpt, TM] f32 integer multipliers
+    S_ref,  # [1, TM] f32 per-column super-scale
+    o_ref,  # [TN, TM]
+    acc_ref,  # [TN, TM] int32
+    *,
+    groups_per_tile,
+    group_size,
+    out_dtype,
+    interpret,
+    fold_mode,  # "onedot" | "grouped"
+):
+    k = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    tm = wq_ref.shape[-1]
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if fold_mode == "onedot":
+        # Fold the multipliers into the weights, ONE int8 dot per k-tile.
+        # Mosaic has no native int8 vector multiply (arith.muli on i8 fails
+        # to legalize), so the multiply runs in i32 and repacks to i8 for
+        # the MXU: unpack -> mul -> pack, ~3 VPU passes over [TK, TM], vs
+        # 3 f32 passes over gpt*[TN, TM] (= the same element count at
+        # TN = group_size) for the per-group epilogue — the win is the MXU
+        # running one deep dot instead of gpt shallow ones.
+        if interpret:
+            w32 = _unpack_tile(wq_ref[...], 4, interpret).astype(jnp.int32)
+        else:
+            w32 = pltpu.bitcast(wq_ref[...], jnp.int4).astype(jnp.int32)
+        mi = m_ref[...].astype(jnp.int32)  # [gpt, TM], values 1..15
+        w8 = (
+            (w32.reshape(groups_per_tile, group_size, tm) * mi[:, None, :])
+            .reshape(groups_per_tile * group_size, tm)
+            .astype(jnp.int8)  # +-105: exact
+        )
+        acc_ref[...] += jax.lax.dot(
+            x_ref[...], w8, preferred_element_type=jnp.int32
+        )
+    else:
+        # Per-group int8 dots with INTEGER partial scaling: the [TN, TM]
+        # partial scales by the (integer) multiplier in i32 — 2 native VPU
+        # passes per group instead of the 3 f32 passes (convert, mul, add)
+        # of the unfolded kernel; the f32 epilogue runs once at the end.
+        w8 = _unpack_tile_i8(wq_ref[...], interpret)  # [TK, TM] int8
+        mi = m_ref[...].astype(jnp.int32)  # [gpt, TM]
+        acc = acc_ref[...]
+        for g in range(groups_per_tile):
+            xg = x_ref[:, g * group_size : (g + 1) * group_size]
+            wg = w8[g * group_size : (g + 1) * group_size, :]
+            s32 = jax.lax.dot(xg, wg, preferred_element_type=jnp.int32)
+            acc = acc + s32 * mi[g : g + 1, :]
+        acc_ref[...] = acc
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * S_ref[...] * sx_ref[...]
+        ).astype(out_dtype)
+
+
+def _qmm_folded8_kernel(
+    x_ref,  # [TN, TK] int8
+    sx_ref,  # [TN, 1] f32
+    wq_ref,  # [TK, TM] int8
+    S_ref,  # [1, TM] f32 per-channel scale
+    o_ref,  # [TN, TM]
+    acc_ref,  # [TN, TM] int32
+    *,
+    out_dtype,
+):
+    """Per-channel W8A8 (the LM head): no groups at all — int8 dots
+    accumulate exactly in int32 across every k-tile, one epilogue."""
+    k = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], wq_ref[...], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * S_ref[...] * sx_ref[...]
+        ).astype(out_dtype)
+
+
+def quant_matmul_folded_pallas(
+    x, wq, mult, S, *, interpret=False, tile_m=1024, tile_k=2048,
+    out_dtype=None, bits=4, fold_mode=None,
+):
+    # env resolved OUTSIDE the jit so A/B sweeps rekey (ADVICE r3 pattern).
+    # "grouped" measured best on v5e (34.2 vs 38.2 us per-group / 39.5
+    # onedot at the 4096x8192 body shape, B=128): integer partial scaling
+    # beats folding into the weight tile because Mosaic has no native int8
+    # vector multiply — the i32 unpack/mul/repack sandwich costs ~3 VPU
+    # passes over [TK, TM], more than the per-group epilogue it replaces.
+    if fold_mode is None:
+        fold_mode = os.environ.get("BYOX_FOLD_MODE", "grouped")
+    return _quant_matmul_folded_pallas(
+        x, wq, mult, S, interpret=interpret, tile_m=tile_m, tile_k=tile_k,
+        out_dtype=out_dtype, bits=bits, fold_mode=fold_mode,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "tile_m", "tile_k", "out_dtype", "bits", "fold_mode"),
+)
+def _quant_matmul_folded_pallas(
+    x: jnp.ndarray,  # [N, K] float (quantized per-row inside)
+    wq: jnp.ndarray,  # [K/2, M] packed int4 (bits=4) | [K, M] int8 (bits=8)
+    mult: jnp.ndarray | None,  # [K/G, M] f32 multipliers (bits=4) | None
+    S: jnp.ndarray,  # [1, M] f32 super/per-channel scale
+    *,
+    interpret: bool = False,
+    tile_m: int = 1024,
+    tile_k: int = 2048,
+    out_dtype=None,
+    bits: int = 4,
+    fold_mode: str = "onedot",
+) -> jnp.ndarray:
+    n, k = x.shape
+    m = wq.shape[-1]
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    # int32 accumulation across the whole K is exact while |x|*|w|*K < 2^31
+    assert k * 127 * (105 if bits == 4 else 127) < 2**31, k
+    x8, sx = quantize_activations(x)
+
+    tk = min(tile_k, k)
+    if bits == 4:
+        groups = mult.shape[0]
+        gsize = k // groups
+        while k % tk or tk % gsize:
+            tk //= 2
+        gpt = tk // gsize
+        if not interpret and gpt % 8:
+            if k % (8 * gsize) == 0:
+                tk = 8 * gsize
+                while tk * 2 <= max(tile_k, tk) and k % (tk * 2) == 0 and tk < tile_k:
+                    tk *= 2
+                gpt = tk // gsize
+            else:
+                raise ValueError(
+                    f"K={k} with group {gsize} not tileable for the folded qmm kernel"
+                )
+    else:
+        gsize, gpt = k, 1
+        while k % tk or (not interpret and tk % 256):
+            tk //= 2
+        if tk < 256 and not interpret:
+            raise ValueError(f"K={k} not tileable for the folded w8a8 kernel")
+    pack = 2 if bits == 4 else 1
+    tn = n
+    while tn > 2048 and tn % 2 == 0:
+        tn //= 2
+    tm = min(tile_m, m)
+    while m % tm:
+        tm //= 2
+
+    def vmem_bytes(tn, tk, tm):
+        return 2 * (
+            tn * tk  # x8 block
+            + (tk // pack) * tm  # (packed) weights
+            + (0 if bits == 8 else (tk // gsize) * tm * 4)  # multipliers
+            + tm * 4  # S
+            + tn * tm * out_dtype.itemsize  # out
+            + tn * 4  # sx
+        ) + tn * tm * 4  # int32 accumulator
+
+    budget = 9 * 1024 * 1024
+    while vmem_bytes(tn, tk, tm) > budget:
+        if bits == 4 and tk >= 2 * 8 * gsize and k % (tk // 2) == 0:
+            tk //= 2
+        elif bits == 8 and tk >= 512 and k % (tk // 2) == 0:
+            tk //= 2
+        elif tm > 128 and m % (tm // 2) == 0:
+            tm //= 2
+        elif tn > 8 and tn % 2 == 0:
+            tn //= 2
+        else:
+            break
+    gpt = tk // gsize if bits == 4 else 1
+    assert m % tm == 0 and k % tk == 0 and n % tn == 0
+    num_n, num_m, num_k = n // tn, m // tm, k // tk
+
+    x_spec = pl.BlockSpec((tn, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM)
+    sx_spec = pl.BlockSpec((tn, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((tk // pack, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM)
+    S_spec = pl.BlockSpec((1, tm), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tn, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
+
+    if bits == 8:
+        return pl.pallas_call(
+            functools.partial(_qmm_folded8_kernel, out_dtype=out_dtype),
+            grid=(num_n, num_m, num_k),
+            in_specs=[x_spec, sx_spec, w_spec, S_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n, m), out_dtype),
+            scratch_shapes=[pltpu.VMEM((tn, tm), jnp.int32)],
+            interpret=interpret,
+        )(x8, sx, wq, S)
+    m_spec = pl.BlockSpec((gpt, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _qmm_folded4_kernel, groups_per_tile=gpt, group_size=gsize,
+            out_dtype=out_dtype, interpret=interpret, fold_mode=fold_mode,
+        ),
+        grid=(num_n, num_m, num_k),
+        in_specs=[x_spec, sx_spec, w_spec, m_spec, S_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, m), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tn, tm), jnp.int32)],
+        interpret=interpret,
+    )(x8, sx, wq, mult, S)

@@ -109,16 +109,20 @@ def load_qwen3_params(path: str, spec: Qwen3Spec, dtype=jnp.bfloat16) -> dict:
         params["lm_head"] = jnp.asarray(get("lm_head.weight"), dtype=dtype)
     if spec.quant_bits is not None:
         from byox_vllm_tpu.models.qwen3 import quantize_layer_params
+        from byox_vllm_tpu.ops.quant import fold_enabled
 
         params["layers"] = quantize_layer_params(
-            params["layers"], spec.quant_bits, group=spec.quant_group
+            params["layers"], spec.quant_bits, group=spec.quant_group,
+            fold=fold_enabled(spec.act_bits),
         )
         logger.info("quantized layer weights to int%d", spec.quant_bits)
     if spec.head_bits is not None and not spec.tie_word_embeddings:
         from byox_vllm_tpu.models.qwen3 import quantize_head
+        from byox_vllm_tpu.ops.quant import fold_enabled
 
         params["lm_head"] = quantize_head(
-            params["lm_head"], spec.head_bits, group=spec.quant_group
+            params["lm_head"], spec.head_bits, group=spec.quant_group,
+            fold=fold_enabled(spec.act_bits),
         )
         logger.info("quantized lm_head to int%d", spec.head_bits)
     logger.info("loaded %d tensors from %s", len(raw), path)

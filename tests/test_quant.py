@@ -305,3 +305,134 @@ def test_w8a8_head_kernel_matches_emulation():
     full = np.asarray(x) @ w
     rel = np.linalg.norm(np.asarray(out) - full) / np.linalg.norm(full)
     assert rel < 0.02, rel  # int8 weights + int8 activations: ~1% noise
+
+
+# --- folded scales (ops/quant.py folded-scales block) -----------------------
+
+
+def test_quantize_folded_constraint_and_roundtrip():
+    """Folded int4 pack: s = m * S holds EXACTLY (m integer-valued in
+    [1, 15]), and dequantization error stays within half a step of the
+    (slightly coarser) constrained scales."""
+    from byox_vllm_tpu.ops.quant import folded_scales, quantize_weight_folded
+
+    rng = np.random.default_rng(11)
+    k, m = 512, 256
+    # mix scale magnitudes across groups to exercise the multiplier range
+    w = rng.normal(0, 0.05, (k, m)).astype(np.float32)
+    w[:128] *= 4.0  # one hot group per column
+    qd = quantize_weight_folded(w, bits=4)
+    mult, S = np.asarray(qd["m"]), np.asarray(qd["S"])
+    assert mult.shape == (k // 128, m) and S.shape == (1, m)
+    assert ((mult >= 1) & (mult <= 15)).all()
+    np.testing.assert_array_equal(mult, np.round(mult))  # integer-valued
+    s = np.asarray(folded_scales(qd, 4))
+    np.testing.assert_allclose(s, mult * S, rtol=0, atol=0)
+    deq = np.asarray(dequantize(qd["q"], jnp.asarray(s), 4, jnp.float32))
+    step = s.repeat(k // s.shape[0], axis=0)
+    assert (np.abs(deq - w) <= step * 0.5 + 1e-6).all()
+    rel = np.abs(deq - w).mean() / np.abs(w).mean()
+    assert rel < 0.2, rel
+
+
+def test_quantize_folded_per_channel_int8():
+    from byox_vllm_tpu.ops.quant import quantize_weight_folded
+
+    rng = np.random.default_rng(12)
+    w = rng.normal(0, 0.05, (256, 512)).astype(np.float32)
+    qd = quantize_weight_folded(w, bits=8)
+    assert set(qd) == {"q", "S"} and qd["S"].shape == (1, 512)
+    deq = np.asarray(dequantize(qd["q"], qd["S"], 8, jnp.float32))
+    assert (np.abs(deq - w) <= np.asarray(qd["S"]) * 0.5 + 1e-6).all()
+
+
+@pytest.mark.parametrize("fold_mode", ["onedot", "grouped"])
+def test_folded4_kernel_matches_emulation(fold_mode):
+    """Folded W4A8 kernel (interpret) vs exact XLA emulation — the int32
+    accumulation and single epilogue must reproduce the per-group math,
+    in both kernel structures (one deep dot / per-group integer partials)."""
+    from byox_vllm_tpu.ops.quant import (
+        folded_scales,
+        quant_matmul_folded_pallas,
+        quantize_activations,
+        quantize_weight_folded,
+    )
+
+    rng = np.random.default_rng(13)
+    n, k, m = 16, 512, 256
+    x = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    w = rng.normal(0, 0.05, (k, m)).astype(np.float32)
+    w[:128] *= 3.0
+    qd = quantize_weight_folded(w, bits=4)
+    out = quant_matmul_folded_pallas(
+        x, qd["q"], qd["m"], qd["S"], interpret=True, out_dtype=jnp.float32,
+        bits=4, tile_m=256, fold_mode=fold_mode,
+    )
+    x8, sx = quantize_activations(x)
+    s = folded_scales(qd, 4)
+    ref = (x8.astype(jnp.float32) * sx) @ dequantize(qd["q"], s, 4, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+    full = np.asarray(x) @ w
+    rel = np.linalg.norm(np.asarray(out) - full) / np.linalg.norm(full)
+    assert rel < 0.15, rel  # int4-class noise (same bound as the roundtrip test)
+
+
+def test_folded8_kernel_matches_emulation():
+    """Folded per-channel W8A8 kernel (the LM head) at a head-like shape."""
+    from byox_vllm_tpu.ops.quant import (
+        quant_matmul_folded_pallas,
+        quantize_activations,
+        quantize_weight_folded,
+    )
+
+    rng = np.random.default_rng(14)
+    n, k, m = 16, 256, 2048
+    x = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    w = rng.normal(size=(k, m)).astype(np.float32) * 0.03
+    qd = quantize_weight_folded(w, bits=8)
+    out = quant_matmul_folded_pallas(
+        x, qd["q"], None, qd["S"], interpret=True, out_dtype=jnp.float32, bits=8
+    )
+    x8, sx = quantize_activations(x)
+    ref = (x8.astype(jnp.float32) * sx) @ dequantize(qd["q"], qd["S"], 8, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+    full = np.asarray(x) @ w
+    rel = np.linalg.norm(np.asarray(out) - full) / np.linalg.norm(full)
+    assert rel < 0.02, rel
+
+
+def test_fold_pack_legacy_conversion():
+    """fold_pack snaps a legacy {"q","s"} pack's scales to m * S; on
+    homogeneous weights the snap error is small, and the folded dequant
+    stays close to the legacy dequant."""
+    from byox_vllm_tpu.ops.quant import fold_pack, folded_scales
+
+    rng = np.random.default_rng(15)
+    w = rng.normal(0, 0.05, (512, 256)).astype(np.float32)
+    qd = quantize_weight(w, bits=4)
+    fd = fold_pack(qd, 4)
+    assert set(fd) == {"q", "m", "S"}
+    legacy = np.asarray(dequantize(qd["q"], qd["s"], 4, jnp.float32))
+    folded = np.asarray(dequantize(fd["q"], folded_scales(fd, 4), 4, jnp.float32))
+    rel = np.abs(folded - legacy).mean() / np.abs(legacy).mean()
+    assert rel < 0.05, rel
+    # idempotent
+    assert fold_pack(fd, 4) is fd
+
+
+def test_refine_scales_folded():
+    """Row-parallel sharding of a folded pack: multiplier rows refine by
+    exact repetition; S stays untouched (global-K, replicated)."""
+    from byox_vllm_tpu.ops.quant import (
+        folded_scales, quantize_weight_folded, refine_scales,
+    )
+
+    rng = np.random.default_rng(16)
+    w = rng.normal(0, 0.05, (512, 256)).astype(np.float32)
+    qd = quantize_weight_folded(w, bits=4)  # 4 scale rows
+    ref = refine_scales(qd, tp=8, bits=4)  # 4 % 8 != 0 -> split 2x
+    assert ref["m"].shape == (8, 256)
+    np.testing.assert_array_equal(np.asarray(ref["S"]), np.asarray(qd["S"]))
+    a = np.asarray(folded_scales(qd, 4)).repeat(2, axis=0)
+    b = np.asarray(folded_scales(ref, 4))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)

@@ -60,7 +60,10 @@ def main():
     # cache the built tree on disk keyed by (model, quant)
     import pickle
 
-    cache = f"/tmp/ablate_params_{args.model}_{args.quant}.pkl"
+    from byox_vllm_tpu.ops.quant import fold_enabled
+
+    layout = "_folded" if fold_enabled(spec.act_bits) else ""
+    cache = f"/tmp/ablate_params_{args.model}_{args.quant}{layout}.pkl"
     if os.path.exists(cache):
         with open(cache, "rb") as fh:
             host_tree = pickle.load(fh)

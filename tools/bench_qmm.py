@@ -93,8 +93,39 @@ def main():
             flush=True,
         )
 
+    from byox_vllm_tpu.ops.quant import (
+        quant_matmul_folded_pallas,
+        quant_matmul_w4a8_pallas,
+        quantize_weight_folded,
+    )
+
     target_bytes = args.cycle_mb * 1e6  # distinct copies to defeat VMEM residency
     for v in args.variants:
+        if v in ("w4a8", "w4a8f", "w8a8", "w8a8f"):
+            # int8-activation kernels: per-group epilogue vs folded scales
+            bits = 4 if v.startswith("w4") else 8
+            folded = v.endswith("f")
+            wb = int(K * M * (1 if bits == 8 else 0.5))
+            n_sets = max(1, int(target_bytes // wb))
+            dev = jax.devices()[0]
+            sets = []
+            for i in range(n_sets):
+                if folded:
+                    qi = quantize_weight_folded(w * (1 + 0.003 * i), bits=bits)
+                    ops = (qi["q"], qi.get("m", jnp.zeros((1, 1), jnp.float32)), qi["S"])
+                else:
+                    qi = quantize_weight(w * (1 + 0.003 * i), bits=bits)
+                    ops = (qi["q"], qi["s"])
+                sets.append(tuple(jax.device_put(o, dev) for o in ops))
+            if folded:
+                fn = lambda a, qq, mm, SS, bits=bits: quant_matmul_folded_pallas(
+                    a, qq, None if bits == 8 else mm, SS, bits=bits,
+                    tile_m=args.tile_m, tile_k=args.tile_k)
+            else:
+                fn = lambda a, qq, ss, bits=bits: quant_matmul_w4a8_pallas(
+                    a, qq, ss, bits=bits, tile_m=args.tile_m, tile_k=args.tile_k)
+            bench(v, fn, wb, *sets)
+            continue
         if v == "bf16":
             wb = K * M * 2
             n_sets = max(1, int(target_bytes // wb))
