@@ -1014,7 +1014,8 @@ def _model_step(
         )
     else:
         tokens = sample_tokens(
-            logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds, steps=steps
+            logits, temperatures, key, top_k=top_k, top_p=top_p, seeds=seeds,
+            steps=steps, vocab=spec.vocab_size,
         )
     if capture_hidden:
         return tokens, kv_cache, hidden
@@ -1121,6 +1122,7 @@ def _multi_decode_step(
         return sample_tokens(
             logits, temperatures, jax.random.fold_in(key, step_idx),
             top_k=top_k, top_p=top_p, seeds=seeds, steps=steps,
+            vocab=spec.vocab_size,
         )
 
     xs = (jnp.arange(k_steps, dtype=context_lens.dtype), slot_mapping.T)

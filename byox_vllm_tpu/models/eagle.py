@@ -79,6 +79,9 @@ def eagle_step(
         inputs_embeds=fused,
         capture_hidden=True,
     )
+    if logits.shape[-1] > spec.vocab_size:  # quantized head keeps padded cols
+        cols = jnp.arange(logits.shape[-1], dtype=jnp.int32)
+        logits = jnp.where(cols[None, :] < spec.vocab_size, logits, -jnp.inf)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # greedy drafts
     last = jnp.take_along_axis(
         h, jnp.maximum(q_lens - 1, 0)[:, None, None], axis=1

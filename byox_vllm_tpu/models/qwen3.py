@@ -516,18 +516,18 @@ def _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden):
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed"])
 
-    def head(x):  # x [..., D] -> logits [..., V] f32 (vocab-LOCAL under tp)
+    def head(x):  # x [..., D] -> logits [..., V(_pad)] f32 (vocab-LOCAL under tp)
         if isinstance(lm_head, dict):  # int8 head, pre-transposed + V-padded
             # W8A8 under w4a8 mode: the int8 head rides the int8 MXU too
             # (the head streams fully every decode step; ~2 ms at 8B on the
-            # bf16-MXU dequant path, ABLATE_r04)
-            out = quant_matmul(
+            # bf16-MXU dequant path, ABLATE_r04). Padded vocab columns are
+            # RETURNED (slicing [.., :V] copies the 78 MB logits array at 8B
+            # every step); samplers mask them (ops/sampler.py vocab arg),
+            # the all_logits path below slices for spec-decode verify.
+            return quant_matmul(
                 x, lm_head, spec.head_bits, out_dtype=jnp.float32,
                 act_bits=spec.act_bits,
             )
-            if tp_axis is not None:
-                return out  # local vocab shard; the tp sampler masks padding
-            return out[..., : spec.vocab_size]
         return jnp.einsum("...d,vd->...v", x, lm_head, preferred_element_type=jnp.float32)
 
     if all_logits:
@@ -535,7 +535,7 @@ def _finalize(h, params, spec, q_lens, tp_axis, all_logits, capture_hidden):
         if tp_axis is not None:
             # full distributions (spec-decode verify): gather the vocab axis
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
-            logits = logits[..., : spec.vocab_size]
+        logits = logits[..., : spec.vocab_size]
         if capture_hidden:
             return (logits, h)
         return logits

@@ -582,6 +582,7 @@ def _decode_kernel_v3(
     has_tail: bool,
     sb: int,  # sequences per grid step
     window: int | None = None,  # sliding-window attention band
+    subpage: int = 128,  # partial-page DMA granularity (== block_size: off)
 ):
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
@@ -600,6 +601,7 @@ def _decode_kernel_v3(
     nh = num_kv_heads * group
     f = num_kv_heads * head_dim
     R = sb * nh
+    nsub = block_size // subpage
 
     def valid_pages_of(i):
         ctx = context_lens_ref[i]
@@ -615,6 +617,12 @@ def _decode_kernel_v3(
         qend = context_lens_ref[i] + tail_off()
         return jnp.maximum(qend - window, 0) // block_size
 
+    def rows_needed(gi_, cc, s_i, j):
+        # valid rows of page (cc*ppc + j): <= 0 past context, >= block_size
+        # for interior pages, partial for the last page
+        i = gi_ * sb + s_i
+        return context_lens_ref[i] - (cc * ppc + j) * block_size
+
     def page_copy(gi_, cc, slot, s_i, j):
         i = gi_ * sb + s_i
         page = block_tables_ref[i, cc * ppc + j]
@@ -624,26 +632,58 @@ def _decode_kernel_v3(
             sems.at[slot],
         )
 
-    def fetch_gate(gi_, cc, s_i, j):
-        n_valid = valid_pages_of(gi_ * sb + s_i) - cc * ppc
-        ok = j < n_valid
+    def sub_copy(gi_, cc, slot, s_i, j, qq):
+        # one subpage-row slice of the LAST (partial) page: page-granular
+        # fetches overfetch the tail page ~1.7x at serving context lengths
+        # (ctx ~150 on 128-token pages fetches 256 rows); gating 32-row
+        # sub-blocks on validity cuts the attention stream to ~1.07x of the
+        # true context bytes while interior pages keep one DMA per page
+        i = gi_ * sb + s_i
+        page = block_tables_ref[i, cc * ppc + j]
+        return pltpu.make_async_copy(
+            pool_hbm.at[page, pl.ds(qq * subpage, subpage), :],
+            buf.at[
+                slot,
+                pl.ds(s_i * span + j * block_size + qq * subpage, subpage),
+                :,
+            ],
+            sems.at[slot],
+        )
+
+    def page_gate(gi_, cc, s_i, j):
+        ok = jnp.asarray(True)
         if window is not None:
-            ok &= j + cc * ppc >= first_window_page(gi_ * sb + s_i)
+            ok = j + cc * ppc >= first_window_page(gi_ * sb + s_i)
         return ok
 
-    def start_fetch(gi_, cc, slot):
+    def each_fetch(gi_, cc, slot, start):
         for s_i in range(sb):
             for j in range(ppc):
-                @pl.when(fetch_gate(gi_, cc, s_i, j))
-                def _():
-                    page_copy(gi_, cc, slot, s_i, j).start()
+                r = rows_needed(gi_, cc, s_i, j)
+                pg = page_gate(gi_, cc, s_i, j)
+                if nsub == 1:
+                    @pl.when((r > 0) & pg)
+                    def _():
+                        cp = page_copy(gi_, cc, slot, s_i, j)
+                        cp.start() if start else cp.wait()
+                else:
+                    @pl.when((r >= block_size) & pg)
+                    def _():
+                        cp = page_copy(gi_, cc, slot, s_i, j)
+                        cp.start() if start else cp.wait()
+                    for qq in range(nsub):
+                        @pl.when(
+                            (r > qq * subpage) & (r < block_size) & pg
+                        )
+                        def _(qq=qq):
+                            cp = sub_copy(gi_, cc, slot, s_i, j, qq)
+                            cp.start() if start else cp.wait()
+
+    def start_fetch(gi_, cc, slot):
+        each_fetch(gi_, cc, slot, True)
 
     def wait_fetch(gi_, cc, slot):
-        for s_i in range(sb):
-            for j in range(ppc):
-                @pl.when(fetch_gate(gi_, cc, s_i, j))
-                def _():
-                    page_copy(gi_, cc, slot, s_i, j).wait()
+        each_fetch(gi_, cc, slot, False)
 
     @pl.when((gi == 0) & (c == 0))
     def _warmup():
@@ -791,22 +831,32 @@ def paged_decode_attention_v3(
     q, pool, block_tables, context_lens, *,
     block_size, scale, interpret=False,
     max_pages_per_chunk=None, seqs_per_step=4, k_tail=None, v_tail=None,
-    tail_len=None, window=None, attn_vmem_mb=None,
+    tail_len=None, window=None, attn_vmem_mb=None, subpage=None,
 ):
-    """Unjitted wrapper: BYOX_ATTN_VMEM_MB is resolved HERE so the jit cache
-    keys on its value — an in-jit env read bakes the first trace's value per
-    shape, silently reusing the stale variant in A/B sweeps (ADVICE r4; same
-    trap as BYOX_QMM_POST_SCALE in ops/quant.py)."""
+    """Unjitted wrapper: BYOX_ATTN_VMEM_MB / BYOX_ATTN_SUBPAGE are resolved
+    HERE so the jit cache keys on their values — an in-jit env read bakes the
+    first trace's value per shape, silently reusing the stale variant in A/B
+    sweeps (ADVICE r4; same trap as BYOX_QMM_POST_SCALE in ops/quant.py).
+
+    Defaults (measured, v5e, 8B geometry B=128 ctx~150 int8): VMEM budget
+    8 MiB fits both 128-token pages of a serving-length context in ONE chunk
+    (4 MiB split them: 173 -> ~110-130 us/layer); subpage 32 fetches the
+    last partial page in validity-gated 32-row sub-blocks."""
     import os as _os
 
     if attn_vmem_mb is None:
-        attn_vmem_mb = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "4"))
+        attn_vmem_mb = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "8"))
+    if subpage is None:
+        subpage = int(_os.environ.get("BYOX_ATTN_SUBPAGE", "32"))
+    if block_size % subpage:
+        subpage = block_size
     return _paged_decode_attention_v3(
         q, pool, block_tables, context_lens,
         block_size=block_size, scale=scale, interpret=interpret,
         max_pages_per_chunk=max_pages_per_chunk,
         seqs_per_step=seqs_per_step, k_tail=k_tail, v_tail=v_tail,
         tail_len=tail_len, window=window, attn_vmem_mb=attn_vmem_mb,
+        subpage=min(subpage, block_size),
     )
 
 
@@ -814,7 +864,7 @@ def paged_decode_attention_v3(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step",
-        "window", "attn_vmem_mb",
+        "window", "attn_vmem_mb", "subpage",
     ),
 )
 def _paged_decode_attention_v3(
@@ -832,7 +882,8 @@ def _paged_decode_attention_v3(
     v_tail=None,
     tail_len=None,  # scalar int32: tail rows 0..tail_len attend
     window: int | None = None,  # sliding-window attention (band mask + DMA skip)
-    attn_vmem_mb: int = 4,
+    attn_vmem_mb: int = 8,
+    subpage: int = 128,
 ):
     b, nh, hd = q.shape
     s, width = pool.shape
@@ -912,6 +963,7 @@ def _paged_decode_attention_v3(
         has_tail=has_tail,
         sb=sb,
         window=window,
+        subpage=subpage,
     )
     if window is not None and has_tail:
         # tail rows are the newest positions: the oldest attended tail row is

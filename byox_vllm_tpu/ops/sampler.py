@@ -29,15 +29,22 @@ def derive_row_keys(key: jax.Array, seeds: jnp.ndarray, steps: jnp.ndarray, b: i
 
 
 def sample_tokens(
-    logits: jnp.ndarray,  # [B, V] any float dtype
+    logits: jnp.ndarray,  # [B, V] any float dtype (may be vocab-PADDED)
     temperatures: jnp.ndarray,  # [B] fp32
     key: jax.Array,
     top_k: jnp.ndarray | None = None,  # [B] int32, 0 = off
     top_p: jnp.ndarray | None = None,  # [B] fp32, 1.0 = off
     seeds: jnp.ndarray | None = None,  # [B] int32, -1 = engine key stream
     steps: jnp.ndarray | None = None,  # [B] int32 per-seq sample counter
+    vocab: int | None = None,  # real vocab size: mask padded head columns
 ) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
+    if vocab is not None and logits.shape[-1] > vocab:
+        # the quantized LM head keeps its padded columns (slicing [.., :V]
+        # copies the full 78 MB logits array at 8B every step); the mask
+        # fuses into the argmax consumers instead
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape[-1:], 0)
+        logits = jnp.where(cols[None, :] < vocab, logits, -jnp.inf)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if top_k is not None or top_p is not None:

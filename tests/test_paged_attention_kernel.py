@@ -304,3 +304,32 @@ def test_v3_kernel_int8_and_tail():
                 np.testing.assert_allclose(
                     np.asarray(out[i]), np.asarray(ref[i]), rtol=1e-4, atol=1e-4
                 )
+
+
+@pytest.mark.parametrize("kv", ["bf16", "int8"])
+def test_v3_subpage_partial_fetch(kv):
+    """Sub-page gated DMA of the last (partial) page: v3 with subpage=16 on
+    64-token pages must match dense for contexts that straddle page
+    boundaries (incl. exact multiples and a padding row)."""
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
+
+    rng = np.random.default_rng(5)
+    ctx_lens = [1, 64, 65, 100, 128, 0, 17, 33]
+    b, nh, nkv, hd, bs, w = len(ctx_lens), 8, 4, 128, 64, 2
+    if kv == "int8":
+        pool, tables, ctx = make_int8_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+        q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
+    else:
+        q, pool, tables, ctx = make_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
+    scale = hd**-0.5
+    ref = paged_attention_dense(q, pool, tables, ctx, (ctx - 1)[:, None], bs, scale)
+    out = paged_decode_attention_v3(
+        q[:, 0], pool, tables, ctx, block_size=bs, scale=scale,
+        interpret=True, seqs_per_step=2, subpage=16,
+    )
+    valid = np.asarray(ctx) > 0
+    tol = 1e-4 if kv == "bf16" else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=tol, atol=tol
+    )
+    assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0

@@ -156,7 +156,7 @@ def main():
         step = make_step(variant)
         toks = jnp.asarray(np.random.randint(0, 1000, B).astype(np.int32))
         out, kv = step(params, toks, kv)
-        jax.block_until_ready(out)
+        _ = jax.device_get(out)  # true sync; surfaces async dispatch errors
         times = []
         for it in range(3):
             t_in = jnp.asarray(np.random.randint(0, 1000, B).astype(np.int32))
@@ -164,7 +164,12 @@ def main():
             out, kv = step(params, t_in, kv)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
+        _ = jax.device_get(out)
         ms = min(times) / K * 1e3
+        if ms < 0.5:  # 8B at B=128 cannot run faster than ~5 ms/step
+            print(f"{variant:8s}: IMPLAUSIBLE {ms:.3f} ms/step — dispatch "
+                  "did not execute (async failure or non-blocking sync?)",
+                  flush=True)
         print(
             f"{variant:8s}: {min(times)*1e3:8.1f} ms / {K} steps = {ms:6.2f} ms/step "
             f"=> {B/(ms/1e3):7.0f} tok/s",

@@ -119,10 +119,14 @@ def main():
         if step == "w4a8" and guard("w4a8"):
             results.append(run_step("w4a8", W4A8, timeout=3000))
         elif step == "spec" and guard("spec"):
+            # the north-star spec config (BASELINE config 4): 8B + ngram on
+            # w4a8/int8-KV — spec economics improve with model size (verify
+            # amortizes the weight stream), and r4 only measured 0.6B
             results.append(run_step(
                 "spec", cmd=[sys.executable, "tools/spec_bench.py",
-                             "--out", "SPEC_r05.json"],
-                timeout=2400,
+                             "--out", "SPEC_r05.json", "--model", "8b",
+                             "--quant", "w4a8", "--kv", "int8"],
+                timeout=3000,
             ))
         elif step == "headroom" and guard("headroom"):
             results.append(run_step(
@@ -134,7 +138,8 @@ def main():
             results.append(run_step(
                 "ablate", cmd=[sys.executable, "tools/ablate_decode.py",
                                "full", "noattn", "nokv", "nohead",
-                               "--model", "8b", "--quant", "int4", "--kv", "int8"],
+                               "--model", "8b", "--quant", "w4a8", "--kv", "int8",
+                               "--block", "128"],
                 timeout=3600,
             ))
         elif step == "bench06" and guard("bench06"):
