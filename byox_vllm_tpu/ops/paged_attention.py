@@ -582,7 +582,6 @@ def _decode_kernel_v3(
     has_tail: bool,
     sb: int,  # sequences per grid step
     window: int | None = None,  # sliding-window attention band
-    subpage: int = 128,  # partial-page DMA granularity (== block_size: off)
 ):
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
@@ -601,7 +600,6 @@ def _decode_kernel_v3(
     nh = num_kv_heads * group
     f = num_kv_heads * head_dim
     R = sb * nh
-    nsub = block_size // subpage
 
     def valid_pages_of(i):
         ctx = context_lens_ref[i]
@@ -623,61 +621,68 @@ def _decode_kernel_v3(
         i = gi_ * sb + s_i
         return context_lens_ref[i] - (cc * ppc + j) * block_size
 
-    def page_copy(gi_, cc, slot, s_i, j):
+    def span_copy(gi_, cc, slot, s_i, j, npages):
+        # copy `npages` POOL-CONTIGUOUS pages in ONE DMA (the flat pool view
+        # makes any page-aligned row range a static-shape copy). The block
+        # manager allocates a sequence's pages sequentially, so serving
+        # tables are mostly contiguous — fusing a page pair halves the DMA
+        # issue count, the binding cost of this bandwidth-bound kernel.
         i = gi_ * sb + s_i
         page = block_tables_ref[i, cc * ppc + j]
         return pltpu.make_async_copy(
-            pool_hbm.at[page],
-            buf.at[slot, pl.ds(s_i * span + j * block_size, block_size), :],
-            sems.at[slot],
-        )
-
-    def sub_copy(gi_, cc, slot, s_i, j, qq):
-        # one subpage-row slice of the LAST (partial) page: page-granular
-        # fetches overfetch the tail page ~1.7x at serving context lengths
-        # (ctx ~150 on 128-token pages fetches 256 rows); gating 32-row
-        # sub-blocks on validity cuts the attention stream to ~1.07x of the
-        # true context bytes while interior pages keep one DMA per page
-        i = gi_ * sb + s_i
-        page = block_tables_ref[i, cc * ppc + j]
-        return pltpu.make_async_copy(
-            pool_hbm.at[page, pl.ds(qq * subpage, subpage), :],
+            pool_hbm.at[pl.ds(page * block_size, npages * block_size), :],
             buf.at[
                 slot,
-                pl.ds(s_i * span + j * block_size + qq * subpage, subpage),
+                pl.ds(s_i * span + j * block_size, npages * block_size),
                 :,
             ],
             sems.at[slot],
         )
 
     def page_gate(gi_, cc, s_i, j):
-        ok = jnp.asarray(True)
+        ok = rows_needed(gi_, cc, s_i, j) > 0
         if window is not None:
-            ok = j + cc * ppc >= first_window_page(gi_ * sb + s_i)
+            ok &= j + cc * ppc >= first_window_page(gi_ * sb + s_i)
         return ok
 
     def each_fetch(gi_, cc, slot, start):
+        def issue(cp):
+            cp.start() if start else cp.wait()
+
         for s_i in range(sb):
-            for j in range(ppc):
-                r = rows_needed(gi_, cc, s_i, j)
-                pg = page_gate(gi_, cc, s_i, j)
-                if nsub == 1:
-                    @pl.when((r > 0) & pg)
-                    def _():
-                        cp = page_copy(gi_, cc, slot, s_i, j)
-                        cp.start() if start else cp.wait()
-                else:
-                    @pl.when((r >= block_size) & pg)
-                    def _():
-                        cp = page_copy(gi_, cc, slot, s_i, j)
-                        cp.start() if start else cp.wait()
-                    for qq in range(nsub):
-                        @pl.when(
-                            (r > qq * subpage) & (r < block_size) & pg
+            i = gi_ * sb + s_i
+            gates = [page_gate(gi_, cc, s_i, j) for j in range(ppc)]
+            j = 0
+            while j < ppc:
+                if j + 1 < ppc:
+                    # fuse page j and j+1 when both are needed and adjacent
+                    pair = (
+                        gates[j] & gates[j + 1]
+                        & (
+                            block_tables_ref[i, cc * ppc + j] + 1
+                            == block_tables_ref[i, cc * ppc + j + 1]
                         )
-                        def _(qq=qq):
-                            cp = sub_copy(gi_, cc, slot, s_i, j, qq)
-                            cp.start() if start else cp.wait()
+                    )
+
+                    @pl.when(pair)
+                    def _(j=j):
+                        issue(span_copy(gi_, cc, slot, s_i, j, 2))
+
+                    @pl.when(~pair & gates[j])
+                    def _(j=j):
+                        issue(span_copy(gi_, cc, slot, s_i, j, 1))
+
+                    @pl.when(~pair & gates[j + 1])
+                    def _(j=j):
+                        issue(span_copy(gi_, cc, slot, s_i, j + 1, 1))
+
+                    j += 2
+                else:
+                    @pl.when(gates[j])
+                    def _(j=j):
+                        issue(span_copy(gi_, cc, slot, s_i, j, 1))
+
+                    j += 1
 
     def start_fetch(gi_, cc, slot):
         each_fetch(gi_, cc, slot, True)
@@ -831,32 +836,29 @@ def paged_decode_attention_v3(
     q, pool, block_tables, context_lens, *,
     block_size, scale, interpret=False,
     max_pages_per_chunk=None, seqs_per_step=4, k_tail=None, v_tail=None,
-    tail_len=None, window=None, attn_vmem_mb=None, subpage=None,
+    tail_len=None, window=None, attn_vmem_mb=None,
 ):
-    """Unjitted wrapper: BYOX_ATTN_VMEM_MB / BYOX_ATTN_SUBPAGE are resolved
+    """Unjitted wrapper: BYOX_ATTN_VMEM_MB is resolved
     HERE so the jit cache keys on their values — an in-jit env read bakes the
     first trace's value per shape, silently reusing the stale variant in A/B
     sweeps (ADVICE r4; same trap as BYOX_QMM_POST_SCALE in ops/quant.py).
 
     Defaults (measured, v5e, 8B geometry B=128 ctx~150 int8): VMEM budget
     8 MiB fits both 128-token pages of a serving-length context in ONE chunk
-    (4 MiB split them: 173 -> ~110-130 us/layer); subpage 32 fetches the
-    last partial page in validity-gated 32-row sub-blocks."""
+    (4 MiB split them: engine-shaped decode 17.90 -> 15.74 ms/step).
+    Validity-gated SUB-page fetches of the last partial page were measured
+    and deleted: 64-row granularity was a wash, 32-row a loss (DMA issue
+    count outweighs the ~1.7x tail-page overfetch it saves)."""
     import os as _os
 
     if attn_vmem_mb is None:
         attn_vmem_mb = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "8"))
-    if subpage is None:
-        subpage = int(_os.environ.get("BYOX_ATTN_SUBPAGE", "32"))
-    if block_size % subpage:
-        subpage = block_size
     return _paged_decode_attention_v3(
         q, pool, block_tables, context_lens,
         block_size=block_size, scale=scale, interpret=interpret,
         max_pages_per_chunk=max_pages_per_chunk,
         seqs_per_step=seqs_per_step, k_tail=k_tail, v_tail=v_tail,
         tail_len=tail_len, window=window, attn_vmem_mb=attn_vmem_mb,
-        subpage=min(subpage, block_size),
     )
 
 
@@ -864,7 +866,7 @@ def paged_decode_attention_v3(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step",
-        "window", "attn_vmem_mb", "subpage",
+        "window", "attn_vmem_mb",
     ),
 )
 def _paged_decode_attention_v3(
@@ -883,7 +885,6 @@ def _paged_decode_attention_v3(
     tail_len=None,  # scalar int32: tail rows 0..tail_len attend
     window: int | None = None,  # sliding-window attention (band mask + DMA skip)
     attn_vmem_mb: int = 8,
-    subpage: int = 128,
 ):
     b, nh, hd = q.shape
     s, width = pool.shape
@@ -892,8 +893,8 @@ def _paged_decode_attention_v3(
     nkv = f // hd
     w = block_tables.shape[1]
     group = nh // nkv
-    num_blocks = s // block_size
-    pp_pages = pool.reshape(num_blocks, block_size, width)
+    # the kernel DMAs page-aligned row ranges of the FLAT pool so adjacent
+    # pages can fuse into one copy (span_copy)
     has_tail = k_tail is not None
     sb = seqs_per_step
     assert b % sb == 0, (b, sb)
@@ -922,7 +923,7 @@ def _paged_decode_attention_v3(
         pl.BlockSpec((sb, nh, hd), _idx(lambda i, c: (i, 0, 0))),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    operands = [q, pp_pages]
+    operands = [q, pool]
     scratch = [pltpu.VMEM((2, sb * span, width), pool.dtype)]
     if has_tail:
         t_max = k_tail.shape[1]
@@ -963,7 +964,6 @@ def _paged_decode_attention_v3(
         has_tail=has_tail,
         sb=sb,
         window=window,
-        subpage=subpage,
     )
     if window is not None and has_tail:
         # tail rows are the newest positions: the oldest attended tail row is

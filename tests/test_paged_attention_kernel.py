@@ -307,10 +307,10 @@ def test_v3_kernel_int8_and_tail():
 
 
 @pytest.mark.parametrize("kv", ["bf16", "int8"])
-def test_v3_subpage_partial_fetch(kv):
-    """Sub-page gated DMA of the last (partial) page: v3 with subpage=16 on
-    64-token pages must match dense for contexts that straddle page
-    boundaries (incl. exact multiples and a padding row)."""
+def test_v3_partial_and_fused_pages(kv):
+    """v3's fused contiguous-page DMA path: contexts straddling page
+    boundaries (incl. exact multiples and a padding row) on contiguous AND
+    non-contiguous block tables must match dense."""
     from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
 
     rng = np.random.default_rng(5)
@@ -325,7 +325,7 @@ def test_v3_subpage_partial_fetch(kv):
     ref = paged_attention_dense(q, pool, tables, ctx, (ctx - 1)[:, None], bs, scale)
     out = paged_decode_attention_v3(
         q[:, 0], pool, tables, ctx, block_size=bs, scale=scale,
-        interpret=True, seqs_per_step=2, subpage=16,
+        interpret=True, seqs_per_step=2,
     )
     valid = np.asarray(ctx) > 0
     tol = 1e-4 if kv == "bf16" else 2e-2
@@ -333,3 +333,33 @@ def test_v3_subpage_partial_fetch(kv):
         np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=tol, atol=tol
     )
     assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0
+
+
+def test_v3_noncontiguous_tables():
+    """Interleaved page allocation (pages of one sequence NOT adjacent in
+    the pool): the fused-pair DMA must fall back to per-page copies."""
+    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
+
+    rng = np.random.default_rng(9)
+    b, nh, nkv, hd, bs, w = 2, 8, 4, 128, 64, 3
+    ctx_lens = [150, 130]
+    S = 16 * bs
+    pool = jnp.asarray(rng.normal(size=(S, 2 * nkv * hd)), jnp.bfloat16)
+    # round-robin allocation: seq0 gets pages 0,2,4; seq1 gets 1,3,5
+    tables = np.full((b, w), -1, np.int32)
+    for i in range(b):
+        for j in range(-(-ctx_lens[i] // bs)):
+            tables[i, j] = 2 * j + i
+    tables = jnp.asarray(tables)
+    ctx = jnp.asarray(ctx_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.bfloat16)
+    scale = hd**-0.5
+    ref = paged_attention_dense(q, pool, tables, ctx, (ctx - 1)[:, None], bs, scale)
+    out = paged_decode_attention_v3(
+        q[:, 0], pool, tables, ctx, block_size=bs, scale=scale,
+        interpret=True, seqs_per_step=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32)[:, 0],
+        rtol=2e-2, atol=2e-2,
+    )

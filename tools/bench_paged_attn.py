@@ -63,9 +63,14 @@ def main():
         pool = jnp.asarray(
             rng.standard_normal((num_slots, 2 * F)).astype(np.float32)
         ).astype(kv_dtype)
-    # shuffled page assignment (realistic non-contiguous tables)
-    perm = rng.permutation(B * W).astype(np.int32)
-    tables = jnp.asarray(perm.reshape(B, W))
+    if os.environ.get("BYOX_BENCH_CONTIG_TABLES", "1") == "1":
+        # per-seq sequential pages (what the block manager actually
+        # allocates at prefill — enables the v3 fused-pair DMA)
+        tables = jnp.asarray(np.arange(B * W, dtype=np.int32).reshape(B, W))
+    else:
+        # shuffled page assignment (worst-case fragmented tables)
+        perm = rng.permutation(B * W).astype(np.int32)
+        tables = jnp.asarray(perm.reshape(B, W))
     ctx_lens = jnp.asarray(
         rng.integers(max(1, CTX - 30), CTX + 1, B).astype(np.int32)
     )
