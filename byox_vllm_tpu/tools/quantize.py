@@ -41,7 +41,14 @@ def unflatten_params(flat: dict) -> dict:
     return tree
 
 
-def quantize_checkpoint(model_dir: str, out_dir: str, bits: int, dtype: str = "bfloat16") -> None:
+def quantize_checkpoint(
+    model_dir: str, out_dir: str, bits: int, dtype: str = "bfloat16",
+    act_bits: int | None = None,
+) -> None:
+    """``act_bits=8`` (the w4a8 serving mode) emits FOLDED packs
+    ({q, m, S} — ops/quant.py folded-scales block): weights are rounded
+    against the constrained scales directly, so serving pays zero post-hoc
+    snap error (legacy {q, s} packs fold at load with a bounded snap)."""
     import jax.numpy as jnp
     import numpy as np
     from safetensors.numpy import save_file
@@ -55,7 +62,7 @@ def quantize_checkpoint(model_dir: str, out_dir: str, bits: int, dtype: str = "b
     from dataclasses import replace
 
     head_bits = 8 if not spec.tie_word_embeddings else None
-    spec = replace(spec, quant_bits=bits, head_bits=head_bits)
+    spec = replace(spec, quant_bits=bits, head_bits=head_bits, act_bits=act_bits)
     params = model_cls.load_params(model_dir, spec, jnp.dtype(dtype))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -66,6 +73,7 @@ def quantize_checkpoint(model_dir: str, out_dir: str, bits: int, dtype: str = "b
         "format": "byox_vllm_tpu.quantized.v1",
         "bits": bits,
         "head_bits": head_bits,
+        "act_bits": act_bits,
         "dtype": dtype,
         "model_type": getattr(hf, "model_type", "qwen3"),
         "source": os.path.abspath(model_dir),
@@ -112,8 +120,17 @@ def main():
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--bits", type=int, choices=(4, 8), default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument(
+        "--w4a8", action="store_true",
+        help="emit folded-scale packs for the int8-activation serving mode "
+        "(exact constrained-scale quantization; implies --bits 4)",
+    )
     args = ap.parse_args()
-    quantize_checkpoint(args.model, args.out, args.bits, args.dtype)
+    bits = 4 if args.w4a8 else args.bits
+    quantize_checkpoint(
+        args.model, args.out, bits, args.dtype,
+        act_bits=8 if args.w4a8 else None,
+    )
 
 
 if __name__ == "__main__":

@@ -436,3 +436,41 @@ def test_refine_scales_folded():
     a = np.asarray(folded_scales(qd, 4)).repeat(2, axis=0)
     b = np.asarray(folded_scales(ref, 4))
     np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_offline_quantize_w4a8_folded_pack(tmp_path):
+    """--w4a8 offline packs carry folded leaves ({q, m, S}); the engine
+    loads them directly (no post-hoc snap) and matches online folded
+    quantization exactly."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+    from byox_vllm_tpu.tools.quantize import load_prequantized, quantize_checkpoint
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=512, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    src = tmp_path / "src"
+    Qwen3ForCausalLM(cfg).eval().save_pretrained(src, safe_serialization=True)
+    packed = tmp_path / "packed"
+    quantize_checkpoint(str(src), str(packed), bits=4, dtype="float32", act_bits=8)
+    params, meta = load_prequantized(str(packed))
+    assert meta["act_bits"] == 8 and meta["bits"] == 4
+    assert set(params["layers"]["wqkv"].keys()) == {"q", "m", "S"}
+    assert set(params["lm_head"].keys()) == {"q", "S"}  # per-channel head
+
+    common = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        num_kvcache_blocks=32, kvcache_block_size=16,
+    )
+    prompts = [[1, 2, 3, 4, 5, 6]]
+    sp = SamplingParams(temperature=0.0, max_tokens=10)
+    online = LLM(str(src), quantization="w4a8", **common).generate(prompts, sp, use_tqdm=False)
+    offline = LLM(str(packed), quantization="w4a8", **common).generate(prompts, sp, use_tqdm=False)
+    assert online[0]["token_ids"] == offline[0]["token_ids"]

@@ -364,3 +364,35 @@ def test_tp_eagle_spec_greedy_invariance():
     for a, b in zip(plain, out):
         assert a["token_ids"] == b["token_ids"]
     assert spec_llm.spec_metrics.summary()["num_drafts"] > 0
+
+
+def test_tp_engine_w4a8_folded_matches_single_device():
+    """TP=4 with FOLDED w4a8 packs ({q, m, S}): the per-column super-scale
+    S is over the GLOBAL K, so it must replicate across row shards (wo,
+    w_down) while the multiplier rows shard/refine — greedy output must
+    match the single-device run exactly."""
+    from byox_vllm_tpu.llm import LLM
+    from byox_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = {"model_type": "qwen3", "vocab_size": 512, "hidden_size": 128,
+           "intermediate_size": 256, "num_hidden_layers": 2,
+           "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+           "rms_norm_eps": 1e-6, "rope_theta": 1e6,
+           "tie_word_embeddings": False, "attention_bias": False,
+           "max_position_embeddings": 4096}
+    common = dict(
+        hf_config=cfg, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=256, num_kvcache_blocks=32,
+        kvcache_block_size=16, quantization="w4a8", seed=3,
+    )
+    prompts = [[1, 2, 3, 4], [5, 6, 7, 8, 9, 10]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    single = LLM(**common)
+    # the engine must actually be running folded packs
+    lw = single.model_runner.params["layers"]["wqkv"]
+    leaf = lw[0] if isinstance(lw, list) else lw
+    assert "S" in leaf and "m" in leaf, leaf.keys()
+    s_out = single.generate(prompts, sp, use_tqdm=False)
+    tp = LLM(tensor_parallel_size=4, **common).generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(s_out, tp):
+        assert a["token_ids"] == b["token_ids"]
