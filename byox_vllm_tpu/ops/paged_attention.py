@@ -44,17 +44,12 @@ from byox_vllm_tpu.ops.kv_cache import decode_scale_bytes, pool_feature_dim
 _NEG_INF = -1e30
 
 
-def _split_page(tile, f, quantized, cdt, raw=False):
+def _split_page(tile, f, quantized, cdt):
     """Merged page tile [span, width] -> (k [span, F], v [span, F],
     sc [span, 128] cdt | None). Static lane slices; the bf16 scale bits
-    decode exactly (they were rounded to bf16 before quantizing).
-    ``raw``: keep k/v as int8 (the int8-MXU QK/PV path skips the
-    [span, F] astype passes entirely)."""
-    k = tile[:, :f]
-    v = tile[:, f : 2 * f]
-    if not raw:
-        k = k.astype(cdt)
-        v = v.astype(cdt)
+    decode exactly (they were rounded to bf16 before quantizing)."""
+    k = tile[:, :f].astype(cdt)
+    v = tile[:, f : 2 * f].astype(cdt)
     sc = None
     if quantized:
         sc = decode_scale_bytes(tile[:, 2 * f :]).astype(cdt)
@@ -587,7 +582,6 @@ def _decode_kernel_v3(
     has_tail: bool,
     sb: int,  # sequences per grid step
     window: int | None = None,  # sliding-window attention band
-    int8_qk: bool = False,  # int8-MXU QK/PV dots for int8 pools
 ):
     rest = list(rest)
     tail_len_ref = rest.pop(0) if has_tail else None
@@ -731,7 +725,7 @@ def _decode_kernel_v3(
         oh_k = (lane == hof).astype(cdt)
         oh_v = (lane == hof + num_kv_heads).astype(cdt)
 
-    def online_update(s_i, s, valid, v, vs_heads=None, v_int8=False):
+    def online_update(s_i, s, valid, v, vs_heads=None):
         """Online-softmax accumulation for sequence s_i's row block of the
         m/l/acc scratch. Chains of different s_i are data-independent."""
         rows = slice(s_i * nh, (s_i + 1) * nh)
@@ -746,19 +740,7 @@ def _decode_kernel_v3(
         if vs_heads is not None:
             # scale rows past ctx are unfetched VMEM (may be NaN): re-mask
             p = jnp.where(valid, p * vs_heads, 0.0)
-        if v_int8:
-            # PV on the int8 MXU: probabilities quantize per-row to int8
-            # (noise <= 0.5/127 of the row max — the same order as the bf16
-            # rounding the cast path pays), the dot accumulates EXACTLY in
-            # int32, and no [span, F] astype/NaN-mask pass ever touches V
-            # (int8 garbage rows are finite and p is already masked).
-            pmax = jnp.maximum(jnp.max(p, axis=1, keepdims=True), 1e-20)
-            p8 = jnp.clip(jnp.round(p * (127.0 / pmax)), 0, 127).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                p8, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (pmax / 127.0)
-        elif v.shape[0] == 1:
+        if v.shape[0] == 1:
             # single-key tail chunk: the degenerate [nh,1]@[1,F]
             # matmul is an outer product — do it on the VPU (a dot_general
             # here also trips a Mosaic lowering bug: 'vector.broadcast'
@@ -772,44 +754,25 @@ def _decode_kernel_v3(
         pv = (pv.reshape(nh, num_kv_heads, head_dim) * onehot[:, :, None]).sum(axis=1)
         acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
 
-    i8 = quantized and int8_qk
     for s_i in range(sb):
         @pl.when(local[s_i] > 0)
         def _chunk(s_i=s_i):
             rows = slice(s_i * span, (s_i + 1) * span)
-            k, v, sc = _split_page(buf[slot, rows, :], f, quantized, cdt, raw=i8)
-            if not i8:
-                # zero unfetched V rows (NaN x 0 = NaN through the PV matmul;
-                # the int8 path needs no mask — garbage int8 is finite and
-                # the probabilities are already masked)
-                vrow = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
-                v_ok = vrow < local[s_i]
-                if window is not None:
-                    # rows below the window floor were never DMA'd: zero too
-                    v_ok &= vrow >= local[s_i] + tail_off() - window
-                v = jnp.where(v_ok, v, 0.0)
+            k, v, sc = _split_page(buf[slot, rows, :], f, quantized, cdt)
+            # zero unfetched V rows (NaN x 0 = NaN through the PV matmul)
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
+            v_ok = vrow < local[s_i]
+            if window is not None:
+                # rows below the window floor were never DMA'd: zero too
+                v_ok &= vrow >= local[s_i] + tail_off() - window
+            v = jnp.where(v_ok, v, 0.0)
 
             q = q_ref[s_i].astype(jnp.float32)  # [nh, hd]
             qe = (q[:, None, :] * onehot[:, :, None]).reshape(nh, f)  # f32
-            if i8:
-                # QK on the int8 MXU: the query row quantizes to int8 (noise
-                # ~0.4% of the row max, the same order as the bf16 cast it
-                # replaces), K stays raw int8 — no [span, F] astype pass
-                qmax = jnp.maximum(
-                    jnp.max(jnp.abs(qe), axis=1, keepdims=True), 1e-20
-                )
-                qe8 = jnp.clip(
-                    jnp.round(qe * (127.0 / qmax)), -127, 127
-                ).astype(jnp.int8)
-                s = jax.lax.dot_general(
-                    qe8, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * (qmax * (scale / 127.0))
-            else:
-                s = jax.lax.dot_general(
-                    qe.astype(cdt), k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale  # [nh, span]
+            s = jax.lax.dot_general(
+                qe.astype(cdt), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [nh, span]
             col = jax.lax.broadcasted_iota(jnp.int32, (nh, span), 1)
             valid = col < local[s_i]
             if window is not None:  # band mask: keys within [qpos-W+1, qpos]
@@ -825,7 +788,7 @@ def _decode_kernel_v3(
                     oh_v, sc, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            online_update(s_i, s, valid, v, vs_heads, v_int8=i8)
+            online_update(s_i, s, valid, v, vs_heads)
 
     if has_tail:
         t_max = k_tail_ref.shape[1]
@@ -874,7 +837,7 @@ def paged_decode_attention_v3(
     q, pool, block_tables, context_lens, *,
     block_size, scale, interpret=False,
     max_pages_per_chunk=None, seqs_per_step=4, k_tail=None, v_tail=None,
-    tail_len=None, window=None, attn_vmem_mb=None, int8_qk=None,
+    tail_len=None, window=None, attn_vmem_mb=None,
 ):
     """Unjitted wrapper: BYOX_ATTN_VMEM_MB is resolved
     HERE so the jit cache keys on their values — an in-jit env read bakes the
@@ -886,20 +849,21 @@ def paged_decode_attention_v3(
     (4 MiB split them: engine-shaped decode 17.90 -> 15.74 ms/step).
     Validity-gated SUB-page fetches of the last partial page were measured
     and deleted: 64-row granularity was a wash, 32-row a loss (DMA issue
-    count outweighs the ~1.7x tail-page overfetch it saves)."""
+    count outweighs the ~1.7x tail-page overfetch it saves). An int8-MXU
+    QK/PV variant (per-row int8 quantization of q and p, raw int8 page
+    tiles, no cast/mask VPU passes) was measured and DELETED: engine-shaped
+    16.29 vs 15.76 ms/step — the per-row quantize/rescale VPU work costs
+    more than the [span, F] casts it removes at serving spans."""
     import os as _os
 
     if attn_vmem_mb is None:
         attn_vmem_mb = int(_os.environ.get("BYOX_ATTN_VMEM_MB", "8"))
-    if int8_qk is None:
-        int8_qk = _os.environ.get("BYOX_ATTN_INT8_QK", "0") == "1"
     return _paged_decode_attention_v3(
         q, pool, block_tables, context_lens,
         block_size=block_size, scale=scale, interpret=interpret,
         max_pages_per_chunk=max_pages_per_chunk,
         seqs_per_step=seqs_per_step, k_tail=k_tail, v_tail=v_tail,
         tail_len=tail_len, window=window, attn_vmem_mb=attn_vmem_mb,
-        int8_qk=int8_qk,
     )
 
 
@@ -907,7 +871,7 @@ def paged_decode_attention_v3(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "interpret", "max_pages_per_chunk", "seqs_per_step",
-        "window", "attn_vmem_mb", "int8_qk",
+        "window", "attn_vmem_mb",
     ),
 )
 def _paged_decode_attention_v3(
@@ -926,7 +890,6 @@ def _paged_decode_attention_v3(
     tail_len=None,  # scalar int32: tail rows 0..tail_len attend
     window: int | None = None,  # sliding-window attention (band mask + DMA skip)
     attn_vmem_mb: int = 8,
-    int8_qk: bool = False,
 ):
     b, nh, hd = q.shape
     s, width = pool.shape
@@ -1006,7 +969,6 @@ def _paged_decode_attention_v3(
         has_tail=has_tail,
         sb=sb,
         window=window,
-        int8_qk=int8_qk and quantized,
     )
     if window is not None and has_tail:
         # tail rows are the newest positions: the oldest attended tail row is

@@ -365,25 +365,6 @@ def test_v3_noncontiguous_tables():
     )
 
 
-def test_v3_int8_qk_pv_path():
-    """int8-MXU QK/PV dots (int8_qk=True): per-row int8 quantization of the
-    query and probability rows must track the cast path within int8-class
-    tolerance, across partial pages and a padding row."""
-    from byox_vllm_tpu.ops.paged_attention import paged_decode_attention_v3
-
-    rng = np.random.default_rng(21)
-    ctx_lens = [150, 64, 1, 0, 100, 128, 33, 17]
-    b, nh, nkv, hd, bs, w = len(ctx_lens), 8, 4, 128, 64, 3
-    pool, tables, ctx = make_int8_case(rng, b, nh, nkv, hd, bs, w, ctx_lens)
-    q = jnp.asarray(rng.normal(size=(b, 1, nh, hd)), jnp.float32)
-    scale = hd**-0.5
-    ref = paged_attention_dense(q, pool, tables, ctx, (ctx - 1)[:, None], bs, scale)
-    out = paged_decode_attention_v3(
-        q[:, 0], pool, tables, ctx, block_size=bs, scale=scale,
-        interpret=True, seqs_per_step=2, int8_qk=True,
-    )
-    valid = np.asarray(ctx) > 0
-    np.testing.assert_allclose(
-        np.asarray(out)[valid], np.asarray(ref)[:, 0][valid], rtol=3e-2, atol=3e-2
-    )
-    assert np.abs(np.asarray(out)[~valid]).max(initial=0.0) == 0.0
+# (An int8-MXU QK/PV decode variant and its parity test lived here briefly in
+# round 5 — measured engine-shaped 16.29 vs 15.76 ms/step and deleted; the
+# per-row quantize/rescale VPU work outweighs the casts it removes.)
