@@ -96,6 +96,12 @@ class LLMEngine:
         # async pipelined decode state: the window currently in flight —
         # (PendingDecode, seqs list, zombie seqs awaiting deferred dealloc)
         self._pending = None
+        # async prefill state: the prefill batch currently in flight —
+        # (runner handle, seqs list, dispatch timestamp). Consecutive prefill
+        # steps chain: batch n's host fetch overlaps batch n+1 executing on
+        # device, so a burst of prefills pays ONE tunnel round trip of
+        # exposed latency instead of one per batch.
+        self._pending_prefill = None
         # interpreter-exit backstop, like the reference's atexit registration
         # (llm_engine.py:36): drop device state so a crashed caller doesn't
         # pin HBM until process teardown races the backend's own shutdown
@@ -133,6 +139,17 @@ class LLMEngine:
         pipeline flushes before any prefill, on batch-composition changes,
         and for speculative decoding."""
         pipelining = self.config.async_decode and self.proposer is None
+        if self._pending_prefill is not None:
+            # a prefill batch is in flight: chain the next prefill behind it
+            # (batch n's fetch overlaps batch n+1 on device). If the
+            # scheduler wants to decode instead, drain the prefill pipeline
+            # first — decode needs the committed first tokens, and a drawn
+            # decode schedule is side-effect-safe to discard (may_append is
+            # idempotent) while a drawn prefill is not.
+            seqs_p, is_p = self.scheduler.schedule()
+            if is_p and seqs_p:
+                return self._pipeline_prefill_step(seqs_p)
+            return self._commit_prefill()
         if self._pending is not None and self.scheduler.waiting:
             # a prefill is (likely) imminent. Overlap path: dispatch it
             # BEHIND the in-flight decode window (the device runs window then
@@ -151,6 +168,12 @@ class LLMEngine:
                 # (may_append is idempotent); flush and reschedule fresh
             return self._commit_pending()
         seqs, is_prefill = self.scheduler.schedule()
+        if is_prefill and seqs and self._prefill_pipeline_ok():
+            # start (or continue) the async prefill pipeline; the decode
+            # pipeline is necessarily idle here (a prefill schedule implies
+            # a non-empty waiting queue, which the overlap branch above
+            # intercepts while a decode window is in flight)
+            return self._pipeline_prefill_step(seqs)
         if pipelining and not is_prefill:
             if not seqs:
                 if self._pending is not None:
@@ -269,25 +292,71 @@ class LLMEngine:
         return outputs, num_tokens
 
     def is_finished(self) -> bool:
-        return self.scheduler.is_finished() and self._pending is None
+        return (
+            self.scheduler.is_finished()
+            and self._pending is None
+            and self._pending_prefill is None
+        )
 
     # -- async pipelined decode internals ----------------------------------
 
-    def _overlap_prefill_step(self, seqs_p) -> tuple[list, int]:
-        """Queue a prefill behind the in-flight decode window, then commit
-        the window and the prefill with one device drain each (the window
-        fetch overlaps the prefill executing on device)."""
+    def _prefill_pipeline_ok(self) -> bool:
+        # proposers with prefill observation hooks need the sync path (they
+        # read last_hidden / mirror the prompt right after the run)
+        return self.config.overlap_prefill and (
+            self.proposer is None or not hasattr(self.proposer, "observe_prefill")
+        )
+
+    def _dispatch_prefill_batch(self, seqs_p):
+        """Prefix-cache accounting + async dispatch of one prefill batch.
+        Returns True if the batch ends in a mid-prompt chunk (the scheduler
+        re-schedules that head from progress only postprocess advances, so
+        such a batch must commit synchronously)."""
         for s in seqs_p:
+            # each request counts ONCE (ADVICE r4): deallocate zeroes
+            # num_cached_tokens, so the accounting must happen pre-run
             if s.num_computed_tokens == s.num_cached_tokens and not s.prompt_counted:
                 s.prompt_counted = True
                 self.metrics.prompt_tokens += s.num_tokens
                 self.metrics.cached_prompt_tokens += s.num_cached_tokens
-        prefill_tokens = sum(s.scheduled_chunk for s in seqs_p)
-        t0 = time.perf_counter()
+        chunked = any(
+            s.scheduled_chunk != s.num_pending_prefill_tokens for s in seqs_p
+        )
         handle = self.model_runner.dispatch_prefill(seqs_p)
-        outputs, num_tokens = self._commit_pending()
+        for s in seqs_p:
+            # non-preemptible until the fetch: the device is writing these
+            # blocks (scheduler._schedule_decode's preemption guard)
+            s.prefill_in_flight = True
+        self._pending_prefill = (handle, seqs_p, time.perf_counter())
+        return chunked
+
+    def _pipeline_prefill_step(self, seqs_p) -> tuple[list, int]:
+        """Dispatch a prefill batch and commit the PREVIOUS in-flight one:
+        its host fetch overlaps this batch executing on device, so a run of
+        prefill steps exposes one host round trip total instead of one per
+        batch (at serving batch sizes the tunnel RTT was ~25% of offline
+        prefill wall)."""
+        prev = self._pending_prefill
+        self._pending_prefill = None
+        chunked = self._dispatch_prefill_batch(seqs_p)
+        outputs, num_tokens = [], 0
+        if prev is not None:
+            outputs, num_tokens = self._commit_prefill(prev)
+        if chunked:
+            out2, n2 = self._commit_prefill()
+            outputs, num_tokens = outputs + out2, num_tokens + n2
+        return outputs, num_tokens
+
+    def _commit_prefill(self, pend=None) -> tuple[list, int]:
+        """Fetch an in-flight prefill batch (default: the pending one) and
+        apply its tokens."""
+        if pend is None:
+            pend, self._pending_prefill = self._pending_prefill, None
+        handle, seqs_p, _t0 = pend
+        prefill_tokens = sum(s.scheduled_chunk for s in seqs_p)
         tokens_p = self.model_runner.fetch_prefill(handle)
-        self.metrics.prefill_wall_s += time.perf_counter() - t0
+        for s in seqs_p:
+            s.prefill_in_flight = False
         self.scheduler.postprocess(seqs_p, tokens_p, is_prefill=True)
         now = time.perf_counter()
         for seq in seqs_p:
@@ -297,9 +366,19 @@ class LLMEngine:
                 seq.finish_time = now
                 self.metrics.record_request(seq)
         self.metrics.prefill_tokens += prefill_tokens
-        outputs = outputs + [
-            (s.seq_id, s.completion_token_ids) for s in seqs_p if s.is_finished
-        ]
+        outputs = [(s.seq_id, s.completion_token_ids) for s in seqs_p if s.is_finished]
+        return outputs, prefill_tokens
+
+    def _overlap_prefill_step(self, seqs_p) -> tuple[list, int]:
+        """Queue a prefill behind the in-flight decode window, then commit
+        the window (its fetch overlaps the prefill executing on device). The
+        prefill itself stays pending so a following prefill can chain behind
+        it (_pipeline_prefill_step)."""
+        chunked = self._dispatch_prefill_batch(seqs_p)
+        outputs, num_tokens = self._commit_pending()
+        if chunked:
+            out2, _ = self._commit_prefill()
+            outputs = outputs + out2
         return outputs, num_tokens
 
     def _commit_pending(self) -> tuple[list, int]:
@@ -353,6 +432,7 @@ class LLMEngine:
             return
         self._exited = True
         self._pending = None
+        self._pending_prefill = None
         self.model_runner.kv_cache = None
         self.model_runner.params = None
 
@@ -409,6 +489,9 @@ class LLMEngine:
             elif num_tokens < 0:
                 self._stats["decode_tok_s"] = -num_tokens / dt
                 self.metrics.decode_wall_s += dt
+            elif self._pending_prefill is not None:
+                # pipelined prefill dispatch step (tokens commit next step)
+                self.metrics.prefill_wall_s += dt
             elif self._pending is not None:
                 # pipelined decode dispatch step (tokens commit next step)
                 self.metrics.decode_wall_s += dt

@@ -161,13 +161,14 @@ class Scheduler:
                 # being written); the engine must flush the pipeline first
                 victim = None
                 for i in range(len(self.running) - 1, -1, -1):
-                    if self.running[i].in_flight == 0:
+                    cand = self.running[i]
+                    if cand.in_flight == 0 and not cand.prefill_in_flight:
                         victim = self.running[i]
                         del self.running[i]
                         break
                 if victim is not None:
                     self._preempt(victim)
-                elif seq.in_flight == 0:
+                elif seq.in_flight == 0 and not seq.prefill_in_flight:
                     self._preempt(seq)
                     break
                 else:

@@ -62,6 +62,10 @@ class Sequence:
     # fetched/confirmed (the scheduler reserves blocks for them; batch prep
     # offsets positions by them)
     in_flight: int = field(default=0, init=False)
+    # async pipelined prefill: this seq's prompt KV writes are dispatched but
+    # not yet fetched — it must not be preempted (its blocks are being
+    # written on device) until the engine commits the prefill
+    prefill_in_flight: bool = field(default=False, init=False)
 
     # request timing (engine metrics: TTFT, end-to-end latency)
     arrival_time: float | None = field(default=None, init=False)
