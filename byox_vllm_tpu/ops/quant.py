@@ -816,15 +816,24 @@ def _qmm_folded8_kernel(
 
 
 def quant_matmul_folded_pallas(
-    x, wq, mult, S, *, interpret=False, tile_m=1024, tile_k=2048,
+    x, wq, mult, S, *, interpret=False, tile_m=1024, tile_k=None,
     out_dtype=None, bits=4, fold_mode=None,
 ):
+    # k-tile depth by row count (measured, v5e): at decode rows (n=128)
+    # tk=4096 wins — 31.8 vs 34.1 us at 4096x8192, 82.0 vs 94.6 at
+    # 4096x24576, 47.2 vs 49.7 at 12288x4096 (deeper k-tiles cut
+    # accumulator revisits) — while at prefill rows (n=2048) the same
+    # setting loses (508.8 vs 484.9 us: the VMEM budget forces a worse
+    # shrink path once the x-tile dominates), so prefill keeps tk=2048.
+    if tile_k is None:
+        tile_k = 4096 if x.shape[0] <= 512 else 2048
     # env resolved OUTSIDE the jit so A/B sweeps rekey (ADVICE r3 pattern).
-    # "grouped" measured best on v5e (34.2 vs 38.2 us per-group / 39.5
-    # onedot at the 4096x8192 body shape, B=128): integer partial scaling
-    # beats folding into the weight tile because Mosaic has no native int8
-    # vector multiply — the i32 unpack/mul/repack sandwich costs ~3 VPU
-    # passes over [TK, TM], more than the per-group epilogue it replaces.
+    # "grouped" measured best on v5e at BOTH serving row counts: decode
+    # (TN=128) 34.2 vs 39.5 us onedot at the 4096x8192 body shape, prefill
+    # (TN=2048) 484.9 vs 509.2 us — the per-group i32 partial scaling stays
+    # off the critical path at either shape, while onedot's i32
+    # unpack/mul/repack sandwich (Mosaic has no native int8 vector multiply)
+    # costs ~3 VPU passes over [TK, TM] regardless of TN.
     if fold_mode is None:
         fold_mode = os.environ.get("BYOX_FOLD_MODE", "grouped")
     return _quant_matmul_folded_pallas(

@@ -55,7 +55,14 @@ def main():
 
             def body(carry, _):
                 for ops in sets:
-                    carry = fn(carry, *ops)[:, :K].astype(carry.dtype)
+                    out = fn(carry, *ops)
+                    if out.shape[-1] >= K:
+                        carry = out[:, :K].astype(carry.dtype)
+                    else:
+                        # M < K (e.g. the down-proj shape): keep the [N, K]
+                        # carry but thread a data dependency through the
+                        # output so iterations still serialize
+                        carry = carry + out[:, :1].astype(carry.dtype)
                 return carry, ()
             out, _ = jax.lax.scan(body, x, jnp.arange(it))
             return out
